@@ -1,0 +1,219 @@
+"""Typed configuration for gan3d_tpu.
+
+Mirrors every flag of the reference CLI (reference: main.py:6-36) plus
+TPU-native extras. The reference pickles its argparse Namespace to
+``log_dir/params.pkl`` (reference: trainer.py:42-47) and rebuilds model
+architectures from it at eval time (reference: eval.py:16-21,
+tournament.py:15-23); we keep the same per-run-dir persistence contract but
+serialize to JSON (``params.json``) instead of pickle, which is portable and
+diff-able. For interop we can also *read* reference params.pkl files.
+
+Model-family precedence matches reference trainer.py:52-68:
+    hybrid > dcgan > stylegan2 > stylegan > biggan-default
+where ``sngan/sagan/biggan/msl`` further mutate the selected family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+PARAMS_FILENAME = "params.json"
+
+
+@dataclass
+class Config:
+    # ---- Hyperparameters (reference: main.py:8-19) ----
+    niters: int = 5000
+    batch_size: int = 16
+    z_size: int = 512
+    filterG: int = 128
+    filterD: int = 128
+    iterD: int = 2
+    lrG: float = 5e-5
+    lrD: float = 1e-4
+    data_path: str = "lidc_train"
+    steps_per_log: int = 10
+    steps_per_img_log: int = 50
+    log_dir: str = "log"
+    load_params: bool = False
+
+    # ---- Model family switches (reference: main.py:25-32) ----
+    dcgan: bool = False
+    hybrid: bool = False
+    stylegan2: bool = False
+    stylegan: bool = False
+    msl: bool = False
+    sngan: bool = False
+    sagan: bool = False
+    biggan: bool = False
+
+    # ---- Loss (reference: main.py:35) ----
+    hinge: bool = False
+
+    # ---- TPU-native extras (no reference equivalent) ----
+    resolution: int = 128       # output volume side; reference hardcodes 128
+    seed: int = 0               # base PRNG seed (reference samples ad hoc)
+    num_devices: int = 0        # devices for data parallelism; 0 = all
+    sync_bn: bool = True        # cross-replica BN stats (reference DataParallel
+                                # computes BN per replica; see SURVEY §5.8)
+    compute_dtype: str = "bfloat16"  # bf16 compute replaces CUDA AMP
+    param_dtype: str = "float32"
+    remat: bool = False         # jax.checkpoint per block (memory at 128^3)
+    steps_per_ckpt: int = 100   # reference checkpoints every 100 steps
+    fid_in_loop: bool = False   # in-loop slice FID (needs Inception weights)
+    fused_step: bool = True     # single jitted step: iterD D-updates + 1 G-update
+    adam_b1: float = 0.0        # reference: trainer.py:77-78 betas=(0., 0.9)
+    adam_b2: float = 0.9
+    ema_decay: float = 0.5      # stylegan2 weight_avg: 0.5 (reference: trainer.py:199-206)
+    data_loader_workers: int = 4
+    profile_dir: str = ""       # if set, jax.profiler traces are written here
+
+    # ------------------------------------------------------------------
+    def family(self) -> str:
+        """Resolved model family per reference precedence (trainer.py:52-68)."""
+        if self.hybrid:
+            return "hybrid"
+        if self.dcgan:
+            return "dcgan"
+        if self.stylegan2:
+            return "stylegan2"
+        if self.stylegan:
+            return "stylegan"
+        return "biggan"  # covers sngan / sagan / biggan flag variants
+
+    # ------------------------------------------------------------------
+    # Derived architecture helpers. The reference hardcodes 128^3; we derive
+    # the same channel patterns for any power-of-two resolution >= 8 so the
+    # 32^3 / 64^3 BASELINE configs work with the identical topology at 128.
+    # ------------------------------------------------------------------
+    @property
+    def num_up_stages(self) -> int:
+        """Stride-2 stages from the 4^3 stem to `resolution`."""
+        r, n = self.resolution, 0
+        assert r >= 8 and (r & (r - 1)) == 0, "resolution must be 2^k >= 8"
+        while r > 4:
+            r //= 2
+            n += 1
+        return n
+
+    def dcgan_g_channels(self) -> List[int]:
+        """Per-stage output channels for the DCGAN G, stem first.
+
+        At 128^3 reproduces reference dcgan.py:17-70:
+        [ngf*16, ngf*8, ngf*4, ngf*2, ngf] then 1 output channel.
+        """
+        s = self.num_up_stages  # stem + (s-1) inner stages + final to 1ch
+        return [self.filterG * (1 << (s - 1 - i)) for i in range(s)]
+
+    def dcgan_d_channels(self) -> List[int]:
+        """Per-stage output channels for the DCGAN D (mirror of G).
+
+        At 128^3 reproduces reference dcgan.py:117-182:
+        [ndf, ndf*2, ndf*4, ndf*8, ndf*16] then a 4^3 conv to 1.
+        """
+        s = self.num_up_stages
+        return [self.filterD * (1 << i) for i in range(s)]
+
+    def biggan_g_arch(self) -> Dict[str, Any]:
+        """BigGAN-3D G architecture dict (reference: biggan.py:14-17).
+
+        At 128^3: in mults [16,16,8,4,2], out [16,8,4,2,1], resolutions
+        [8..128], attention at 32.
+        """
+        n = self.num_up_stages
+        out = [min(16, 1 << (n - 1 - i)) for i in range(n)]
+        inn = [out[0]] + out[:-1]
+        res = [1 << (3 + i) for i in range(n)]
+        return {
+            "in_channels": [m * self.filterG for m in inn],
+            "out_channels": [m * self.filterG for m in out],
+            "resolution": res,
+            "attention": {r: (r == 32) for r in res},
+        }
+
+    def biggan_d_arch(self) -> Dict[str, Any]:
+        """BigGAN-3D D architecture dict (reference: biggan.py:70-75).
+
+        At 128^3: in mults [1,2,4,8,16], out [2,4,8,16,16], resolutions
+        [64,32,16,8,4], attention at 16.
+        """
+        n = self.num_up_stages
+        inn = [min(16, 1 << i) for i in range(n)]
+        out = [min(16, 1 << (i + 1)) for i in range(n)]
+        res = [self.resolution >> (1 + i) for i in range(n)]
+        return {
+            "in_channels": [m * self.filterD for m in inn],
+            "out_channels": [m * self.filterD for m in out],
+            "downsample": [True] * n,
+            "resolution": res,
+            "attention": {r: (r == 16) for r in res},
+        }
+
+    # ------------------------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def save(self, log_dir: Optional[str] = None) -> str:
+        path = os.path.join(log_dir or self.log_dir, PARAMS_FILENAME)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+        return path
+
+    @classmethod
+    def load(cls, log_dir: str) -> "Config":
+        """Load params from a run dir — JSON first, reference pickle fallback."""
+        jpath = os.path.join(log_dir, PARAMS_FILENAME)
+        if os.path.isfile(jpath):
+            with open(jpath) as f:
+                return cls.from_dict(json.load(f))
+        ppath = os.path.join(log_dir, "params.pkl")
+        if os.path.isfile(ppath):
+            import pickle
+
+            with open(ppath, "rb") as f:
+                ns = pickle.load(f)
+            return cls.from_dict(vars(ns))
+        raise FileNotFoundError(f"no {PARAMS_FILENAME} or params.pkl in {log_dir}")
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def add_config_flags(parser) -> None:
+    """Register every Config field on an argparse parser.
+
+    Unlike the reference (main.py uses ``type=bool`` so any value parses as
+    True — SURVEY §2.3), booleans here parse 'true/false/1/0' correctly, while
+    still accepting the reference's ``--biggan=True`` spelling.
+    """
+
+    def parse_bool(v: str) -> bool:
+        return str(v).strip().lower() in ("1", "true", "yes", "y", "t")
+
+    for f in dataclasses.fields(Config):
+        arg = f"--{f.name}"
+        if f.type in ("bool", bool):
+            parser.add_argument(arg, type=parse_bool, default=f.default, nargs="?",
+                                const=True)
+        else:
+            ty = {"int": int, "float": float, "str": str}.get(str(f.type), str)
+            parser.add_argument(arg, type=ty, default=f.default)
+
+
+def config_from_args(argv=None) -> Config:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="gan3d_tpu")
+    add_config_flags(parser)
+    args = parser.parse_args(argv)
+    return Config.from_dict(vars(args))

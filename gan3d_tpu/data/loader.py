@@ -1,0 +1,96 @@
+"""Shuffled, drop-last, prefetching batch loader.
+
+Replaces the reference's ``DataLoader(batch_size, shuffle=True,
+num_workers=4, drop_last=True)`` + ``inf_train_gen`` infinite wrapper
+(reference: trainer.py:84, 95-98). Batches are assembled by a thread pool
+(npz decompression releases the GIL inside zlib) and prefetched ahead of the
+training step so host IO overlaps TPU compute.
+
+Yields float32 arrays of shape [B, D, H, W] in [-1, 1]; the trainer appends
+the trailing channel axis (NDHWC) — the reference instead prepends one
+(NCDHW) at trainer.py:300.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        n = len(idx)
+        if self.drop_last:
+            n = (n // self.batch_size) * self.batch_size
+        return idx[:n]
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        """One pass over the data (epoch)."""
+        idx = self._epoch_indices()
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i : i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            yield self.dataset.batch(chunk)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def infinite(self) -> Iterator[np.ndarray]:
+        """Infinite shuffled batches with background prefetch.
+
+        Equivalent of the reference's inf_train_gen (trainer.py:95-98), with
+        an explicit prefetch queue instead of worker processes.
+        """
+        q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            try:
+                while not stop.is_set():
+                    idx = self._epoch_indices()
+                    batches = [
+                        idx[i : i + self.batch_size]
+                        for i in range(0, len(idx), self.batch_size)
+                    ]
+                    for fut in [pool.submit(self.dataset.batch, b) for b in batches]:
+                        if stop.is_set():
+                            return
+                        q.put(fut.result())
+            finally:
+                pool.shutdown(wait=False)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

@@ -1,0 +1,146 @@
+"""Core 3D convolution / pooling / resampling ops (NDHWC).
+
+Semantics intentionally match torch's NCDHW ops (the reference's building
+blocks — nn.Conv3d / nn.ConvTranspose3d / F.avg_pool3d / F.max_pool3d /
+F.interpolate) so that model topologies transfer verbatim; layouts are
+TPU-native channels-last and weights are DHWIO.
+
+Weight layout conventions:
+- conv3d:            w[kd, kh, kw, in/groups, out]
+- conv_transpose3d:  w[kd, kh, kw, in, out]
+  (torch stores ConvTranspose3d weights as [in, out, kd, kh, kw]; converters
+  permute (2, 3, 4, 0, 1).)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+IntOr3 = Union[int, Sequence[int]]
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _triple(v: IntOr3) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    t = tuple(int(x) for x in v)
+    assert len(t) == 3
+    return t  # type: ignore[return-value]
+
+
+def conv3d(
+    x: jax.Array,
+    w: jax.Array,
+    stride: IntOr3 = 1,
+    padding: IntOr3 = 0,
+    dilation: IntOr3 = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """3D convolution, torch nn.Conv3d semantics (cross-correlation).
+
+    x: [N, D, H, W, Cin]; w: [kd, kh, kw, Cin//groups, Cout].
+    """
+    s, p, d = _triple(stride), _triple(padding), _triple(dilation)
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=s,
+        padding=[(p[0], p[0]), (p[1], p[1]), (p[2], p[2])],
+        rhs_dilation=d,
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+
+
+def conv_transpose3d(
+    x: jax.Array,
+    w: jax.Array,
+    stride: IntOr3 = 1,
+    padding: IntOr3 = 0,
+    output_padding: IntOr3 = 0,
+) -> jax.Array:
+    """3D transposed convolution, torch nn.ConvTranspose3d semantics.
+
+    Implemented as a fractionally-strided convolution: the input is
+    lhs-dilated by `stride`, the kernel is spatially flipped, and each side
+    is padded with (k - 1 - p). Output size = (in-1)*s - 2p + k + op,
+    matching torch (reference DCGAN G uses k=4, s=2, p=1 stages —
+    reference: dcgan.py:17-70).
+
+    x: [N, D, H, W, Cin]; w: [kd, kh, kw, Cin, Cout].
+    """
+    s, p, op = _triple(stride), _triple(padding), _triple(output_padding)
+    k = w.shape[:3]
+    wf = jnp.flip(w, axis=(0, 1, 2))
+    pads = [
+        (k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(3)
+    ]
+    return lax.conv_general_dilated(
+        x,
+        wf,
+        window_strides=(1, 1, 1),
+        padding=pads,
+        lhs_dilation=s,
+        dimension_numbers=_DN,
+        preferred_element_type=x.dtype,
+    )
+
+
+def avg_pool3d(x: jax.Array, window: IntOr3 = 2, stride: IntOr3 = None) -> jax.Array:
+    """torch F.avg_pool3d (count_include_pad irrelevant: no padding)."""
+    k = _triple(window)
+    s = _triple(stride) if stride is not None else k
+    out = lax.reduce_window(
+        x, jnp.zeros((), x.dtype), lax.add,
+        (1, *k, 1), (1, *s, 1), "VALID",
+    )
+    return out / jnp.asarray(k[0] * k[1] * k[2], x.dtype)
+
+
+def max_pool3d(x: jax.Array, window: IntOr3 = 2, stride: IntOr3 = None,
+               padding: IntOr3 = 0) -> jax.Array:
+    """torch F.max_pool3d with symmetric integer padding (-inf padded)."""
+    k = _triple(window)
+    s = _triple(stride) if stride is not None else k
+    p = _triple(padding)
+    if any(p):
+        neg = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                          else jnp.iinfo(x.dtype).min, x.dtype)
+        x = jnp.pad(x, ((0, 0), (p[0], p[0]), (p[1], p[1]), (p[2], p[2]), (0, 0)),
+                    constant_values=neg)
+    return lax.reduce_window(
+        x, jnp.asarray(-jnp.inf, x.dtype), lax.max,
+        (1, *k, 1), (1, *s, 1), "VALID",
+    )
+
+
+def global_sum_pool(x: jax.Array) -> jax.Array:
+    """Sum over D, H, W → [N, C] (reference: biggan.py:118 torch.sum [2,3,4])."""
+    return jnp.sum(x, axis=(1, 2, 3))
+
+
+def upsample_nearest3d(x: jax.Array, scale: int = 2) -> jax.Array:
+    """Nearest-neighbor 2x/4x upsample (torch F.interpolate default mode).
+
+    Pure reshape+broadcast — no gather, fuses into the following conv.
+    """
+    n, d, h, w, c = x.shape
+    x = x[:, :, None, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, d, scale, h, scale, w, scale, c))
+    return x.reshape(n, d * scale, h * scale, w * scale, c)
+
+
+def upsample_trilinear3d(x: jax.Array, scale: int = 2) -> jax.Array:
+    """Trilinear upsample, torch F.interpolate(mode='trilinear',
+    align_corners=False) semantics (half-pixel centers), used by the
+    StyleGAN-1 generator (reference: stylegan.py:1081 etc.)."""
+    n, d, h, w, c = x.shape
+    return jax.image.resize(
+        x, (n, d * scale, h * scale, w * scale, c), method="trilinear"
+    )

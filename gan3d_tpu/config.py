@@ -71,6 +71,9 @@ class Config:
     ema_decay: float = 0.5      # stylegan2 weight_avg: 0.5 (reference: trainer.py:199-206)
     data_loader_workers: int = 4
     profile_dir: str = ""       # if set, jax.profiler traces are written here
+    platform: str = ""          # force a JAX platform ('cpu'/'tpu'); "" = auto
+    gp_weight: float = 0.0      # WGAN-GP weight (reference has it commented
+                                # out at trainer.py:242; opt-in here)
 
     # ------------------------------------------------------------------
     def family(self) -> str:

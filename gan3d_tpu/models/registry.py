@@ -1,0 +1,43 @@
+"""Model family selection (reference: trainer.py:52-68).
+
+Precedence: hybrid (BigGAN G + DCGAN D) > dcgan > stylegan2 > stylegan >
+BigGAN default (covers the sngan/sagan/biggan flag variants).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+from gan3d_tpu.config import Config
+
+
+def _dtype(cfg: Config):
+    return jnp.dtype(cfg.compute_dtype)
+
+
+def build_models(cfg: Config, bn_axis_name: Optional[str] = None
+                 ) -> Tuple[Any, Any]:
+    """Return (generator, discriminator) flax modules for the config."""
+    from gan3d_tpu.models import biggan, dcgan
+
+    fam = cfg.family()
+    dt = _dtype(cfg)
+    if fam == "hybrid":
+        return (biggan.Generator(cfg, dtype=dt, bn_axis_name=bn_axis_name),
+                dcgan.Discriminator(cfg, dtype=dt))
+    if fam == "dcgan":
+        return (dcgan.Generator(cfg, dtype=dt), dcgan.Discriminator(cfg, dtype=dt))
+    if fam == "stylegan2":
+        from gan3d_tpu.models.stylegan import Discriminator as StyleD
+        from gan3d_tpu.models.stylegan import Generator as StyleG
+
+        return (StyleG(cfg, dtype=dt), StyleD(cfg, dtype=dt))
+    if fam == "stylegan":
+        from gan3d_tpu.models.stylegan import Discriminator as StyleD
+        from gan3d_tpu.models.stylegan import StyleGAN1Generator
+
+        return (StyleGAN1Generator(cfg, dtype=dt), StyleD(cfg, dtype=dt))
+    return (biggan.Generator(cfg, dtype=dt, bn_axis_name=bn_axis_name),
+            biggan.Discriminator(cfg, dtype=dt))

@@ -92,10 +92,19 @@ def conv_transpose3d(
     )
 
 
+def _pool_reshape(x: jax.Array, k: Tuple[int, int, int], reducer) -> jax.Array:
+    """Window==stride pooling as reshape+reduce — differentiable and fusable."""
+    n, d, h, w, c = x.shape
+    x = x.reshape(n, d // k[0], k[0], h // k[1], k[1], w // k[2], k[2], c)
+    return reducer(x, axis=(2, 4, 6))
+
+
 def avg_pool3d(x: jax.Array, window: IntOr3 = 2, stride: IntOr3 = None) -> jax.Array:
     """torch F.avg_pool3d (count_include_pad irrelevant: no padding)."""
     k = _triple(window)
     s = _triple(stride) if stride is not None else k
+    if k == s and all(x.shape[1 + i] % k[i] == 0 for i in range(3)):
+        return _pool_reshape(x, k, jnp.mean)
     out = lax.reduce_window(
         x, jnp.zeros((), x.dtype), lax.add,
         (1, *k, 1), (1, *s, 1), "VALID",
@@ -109,6 +118,9 @@ def max_pool3d(x: jax.Array, window: IntOr3 = 2, stride: IntOr3 = None,
     k = _triple(window)
     s = _triple(stride) if stride is not None else k
     p = _triple(padding)
+    if k == s and not any(p) and all(
+            x.shape[1 + i] % k[i] == 0 for i in range(3)):
+        return _pool_reshape(x, k, jnp.max)
     if any(p):
         neg = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
                           else jnp.iinfo(x.dtype).min, x.dtype)

@@ -1,0 +1,251 @@
+"""Host-side training driver.
+
+Reference: trainer.py:28-313 (Trainer). Differences by design:
+- the whole iteration (iterD D-steps + 1 G-step) is ONE jitted XLA program
+  (gan3d_tpu.train.step) instead of eager per-op dispatch;
+- data parallelism is jit-SPMD over a `data` mesh axis (batch sharded,
+  params replicated, gradient all-reduce inserted by XLA) instead of
+  nn.DataParallel;
+- bf16 compute replaces CUDA AMP; there are no GradScalers;
+- config persists as JSON; checkpoints go through Orbax with the same
+  rolling single-checkpoint + auto-resume semantics (trainer.py:128-163);
+- PRNG is explicitly threaded: given (seed, step) every noise draw is
+  reproducible.
+
+Faithful behaviors:
+- model selection precedence (trainer.py:52-68) via models.build_models;
+- Adam(lr, betas=(0, 0.9)) per network (trainer.py:77-78);
+- sample-grid logging from a fixed noise batch every steps_per_img_log, with
+  G left in train mode exactly like the reference (which never calls eval();
+  BN batch stats + SN power iteration update during logging forwards too);
+- stdout log line format and cadence (trainer.py:108-110);
+- checkpoint every steps_per_ckpt(=100) with loss/FID histories
+  (trainer.py:153-163, 307-310).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gan3d_tpu.config import Config
+from gan3d_tpu.data.loader import Loader
+from gan3d_tpu.models import build_models
+from gan3d_tpu.parallel.mesh import make_mesh
+from gan3d_tpu.train.checkpoint import CheckpointManager
+from gan3d_tpu.train.state import TrainState, make_optimizer
+from gan3d_tpu.train.step import build_train_step
+from gan3d_tpu.utils.png import save_volume_grid
+
+
+class Trainer:
+    def __init__(self, dataset, cfg: Config):
+        # --- dirs + params persistence (reference trainer.py:33-47) ---
+        self.log_dir = cfg.log_dir
+        self.models_dir = os.path.join(self.log_dir, "models")
+        self.images_dir = os.path.join(self.log_dir, "images")
+        os.makedirs(self.models_dir, exist_ok=True)
+        os.makedirs(self.images_dir, exist_ok=True)
+        if cfg.load_params:
+            cfg = Config.load(cfg.log_dir).replace(log_dir=cfg.log_dir)
+        else:
+            cfg.save()
+        self.cfg = cfg
+        self.family = cfg.family()
+
+        # --- mesh + models ---
+        self.mesh = make_mesh(cfg.num_devices)
+        ndev = len(self.mesh.devices.ravel())
+        if cfg.batch_size % ndev:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by {ndev} devices")
+        self.G, self.D = build_models(cfg)
+
+        key = jax.random.key(cfg.seed)
+        kg, kd, self._base_key = jax.random.split(key, 3)
+        z0 = jnp.zeros((cfg.batch_size, cfg.z_size), jnp.float32)
+        x0 = jnp.zeros((cfg.batch_size, cfg.resolution, cfg.resolution,
+                        cfg.resolution, 1), jnp.float32)
+        g_vars = self.G.init({"params": kg}, z0)
+        d_rngs = {"params": kd}
+        if cfg.msl:
+            d_rngs["crops"] = jax.random.fold_in(kd, 1)
+        d_vars = self.D.init(d_rngs, x0)
+
+        g_params = g_vars["params"]
+        g_state = {k: v for k, v in g_vars.items() if k != "params"}
+        d_params = d_vars["params"]
+        d_state = {k: v for k, v in d_vars.items() if k != "params"}
+
+        self.g_tx = make_optimizer(cfg.lrG, cfg.adam_b1, cfg.adam_b2)
+        self.d_tx = make_optimizer(cfg.lrD, cfg.adam_b1, cfg.adam_b2)
+        state = TrainState(
+            step=jnp.int32(0),
+            g_params=g_params, g_state=g_state, g_opt=self.g_tx.init(g_params),
+            d_params=d_params, d_state=d_state, d_opt=self.d_tx.init(d_params),
+            ema_params=(g_params if self.family == "stylegan2" else None),
+            pl_mean=(jnp.float32(0) if self.family in ("stylegan2", "stylegan")
+                     else None),
+        )
+
+        # --- shardings + jitted programs ---
+        rep = NamedSharding(self.mesh, P())
+        batch_in = NamedSharding(self.mesh, P(None, "data"))
+        batch_out = NamedSharding(self.mesh, P("data"))
+        self._rep = rep
+        self._batch_in = batch_in
+        self.state = jax.device_put(state, rep)
+
+        if self.family in ("stylegan2", "stylegan"):
+            from gan3d_tpu.models.stylegan.loss import build_stylegan_step
+
+            step_fn = build_stylegan_step(cfg, self.G, self.D, self.g_tx,
+                                          self.d_tx)
+        else:
+            step_fn = build_train_step(cfg, self.G, self.D, self.g_tx,
+                                       self.d_tx)
+        self._step = jax.jit(step_fn, in_shardings=(rep, batch_in, rep),
+                             out_shardings=(rep, rep, batch_out),
+                             donate_argnums=(0,))
+
+        def sample_fn(state: TrainState, noise: jax.Array):
+            out, g_state = _apply_g(self.G, self.family, state, noise)
+            return out, state.replace(g_state=g_state)
+
+        self._sample = jax.jit(sample_fn, in_shardings=(rep, batch_out),
+                               out_shardings=(batch_out, rep))
+
+        # --- data ---
+        self.loader = Loader(dataset, cfg.batch_size, seed=cfg.seed,
+                             num_workers=cfg.data_loader_workers)
+
+        # --- bookkeeping (reference trainer.py:86-92) ---
+        self.fixed_test_noise: Optional[jax.Array] = None
+        self.G_losses: List[float] = []
+        self.D_losses: List[List[float]] = []
+        self.fid: List[float] = []
+        self.fid_epoch: List[float] = []
+        self._pending: List[Dict[str, Any]] = []
+        self.ckpt = CheckpointManager(self.models_dir)
+        self._fid_fn = self._make_inloop_fid()
+
+    # ------------------------------------------------------------------
+    def _make_inloop_fid(self):
+        """In-loop axial slice FID of fake vs the current real batch
+        (reference trainer.py:100-107). Needs Inception weights; returns a
+        nan-producing stub when unavailable (cfg.fid_in_loop gates it)."""
+        if not self.cfg.fid_in_loop:
+            return lambda fake, real: float("nan")
+        try:
+            from gan3d_tpu.eval.slice_fid import SliceFID
+
+            sfid = SliceFID()
+            return lambda fake, real: sfid.axial(fake, real)
+        except Exception as e:  # noqa: BLE001 — weights unavailable
+            print(f"in-loop FID disabled: {e}", flush=True)
+            return lambda fake, real: float("nan")
+
+    # ------------------------------------------------------------------
+    def _flush_pending(self):
+        for m in self._pending:
+            self.D_losses.append([float(m["d_real"]), float(m["d_fake"])])
+            self.G_losses.append(float(m["g_loss"]))
+        self._pending.clear()
+
+    def _history(self) -> Dict[str, Any]:
+        self._flush_pending()
+        return {"lossG": self.G_losses, "lossD": self.D_losses,
+                "fid": self.fid_epoch}
+
+    def log_train(self, step: int, fake, real) -> None:
+        self.fid.append(self._fid_fn(fake, real))
+        self._flush_pending()
+        d_real, d_fake = self.D_losses[-1]
+        print("[%d|%d]\tD(x): %.4f\tD(G(z)): %.4f|%.4f\tFID %.4f"
+              % (step, self.cfg.niters, d_real, d_fake, self.G_losses[-1],
+                 self.fid[-1]), flush=True)
+
+    def log_interpolation(self, step: int) -> None:
+        if self.fixed_test_noise is None:
+            self.fixed_test_noise = jax.device_put(
+                jax.random.normal(jax.random.fold_in(self._base_key, 0xF1),
+                                  (self.cfg.batch_size, self.cfg.z_size)),
+                NamedSharding(self.mesh, P("data")))
+        fake, self.state = self._sample(self.state, self.fixed_test_noise)
+        save_volume_grid(os.path.join(self.images_dir, f"{step}.png"),
+                         np.asarray(jax.device_get(fake), np.float32))
+
+    def log(self, step: int, fake, real) -> None:
+        if step % self.cfg.steps_per_log == 0:
+            self.log_train(step, fake, real)
+        if step % self.cfg.steps_per_img_log == 0:
+            self.log_interpolation(step)
+
+    def save_checkpoint(self, step: int) -> None:
+        self.ckpt.save(step, jax.device_get(self.state), self._history())
+
+    def start_from_checkpoint(self) -> int:
+        template = jax.device_get(self.state)
+        restored, history = self.ckpt.restore(template)
+        if restored is None:
+            return 0
+        self.state = jax.device_put(restored, self._rep)
+        self.G_losses = history.get("lossG", [])
+        self.D_losses = history.get("lossD", [])
+        self.fid_epoch = history.get("fid", [])
+        step = int(restored.step)
+        print(f"starting from step {step}", flush=True)
+        return step
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.cfg
+        step_done = self.start_from_checkpoint()
+        gen = self.loader.infinite()
+        print("Starting Training...", flush=True)
+        t0 = time.time()
+        fake = real = None
+        for i in range(step_done, cfg.niters):
+            reals = np.stack([next(gen) for _ in range(cfg.iterD)])[..., None]
+            reals_dev = jax.device_put(reals, self._batch_in)
+            self.state, metrics, fake = self._step(self.state, reals_dev,
+                                                   self._base_key)
+            self._pending.append(metrics)  # device arrays; sync at log time
+            real = reals[-1]
+            self.log(i, fake, real)
+            if i % cfg.steps_per_ckpt == 0 and i > 0:
+                vals = [v for v in self.fid if not np.isnan(v)]
+                self.fid_epoch.append(float(np.mean(vals)) if vals
+                                      else float("nan"))
+                self.fid = []
+                self.save_checkpoint(i)
+        # final log + checkpoint (reference trainer.py:172-175, 312)
+        i = cfg.niters - 1
+        self.log_train(i, fake, real)
+        self.log_interpolation(i)
+        self.save_checkpoint(i)
+        self.ckpt.wait()
+        dt = time.time() - t0
+        n_steps = cfg.niters - step_done
+        if n_steps > 0:
+            print(f"...Done ({n_steps} steps in {dt:.1f}s, "
+                  f"{n_steps / dt:.2f} steps/s)", flush=True)
+
+
+def _apply_g(G, family: str, state: TrainState, noise: jax.Array):
+    """Generator forward in train mode with mutable state (the reference
+    never switches G to eval for logging)."""
+    variables = {"params": state.g_params, **state.g_state}
+    mut = list(state.g_state.keys())
+    out = G.apply(variables, noise, train=True, mutable=mut) if mut else (
+        G.apply(variables, noise, train=True), {})
+    fake, new_state = out
+    if family == "stylegan2":
+        fake = fake[0] if isinstance(fake, tuple) else fake
+    return fake, new_state

@@ -1,0 +1,219 @@
+"""Metric correctness tests: oracles, analytic cases, calibration behavior."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from gan3d_tpu.eval.metrics import (
+    fid_3d,
+    frechet_distance,
+    mmd,
+    ms_ssim_3d,
+    psnr,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def test_mmd_matches_reference_formula():
+    real = RNG.normal(size=(6, 4, 4, 4)).astype(np.float32)
+    fake = RNG.normal(size=(6, 4, 4, 4)).astype(np.float32)
+    # reference eval_utils.py:11-21 oracle in numpy
+    b = 6
+    x = fake.reshape(b, -1)
+    y = real.reshape(b, -1)
+    ref = (1 / b**2) * (np.sum(x @ x.T) + np.sum(y @ y.T)) \
+        - (2 / b**2) * np.sum(x @ y.T)
+    got = float(mmd(jnp.asarray(real), jnp.asarray(fake)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_mmd_zero_for_identical():
+    x = RNG.normal(size=(4, 4, 4, 4)).astype(np.float32)
+    assert abs(float(mmd(jnp.asarray(x), jnp.asarray(x)))) < 1e-2
+
+
+def test_psnr():
+    x = np.zeros((2, 4, 4, 4), np.float32)
+    y = np.full((2, 4, 4, 4), 0.2, np.float32)
+    # mse = 0.04 -> 10*log10(4/0.04) = 20
+    np.testing.assert_allclose(psnr(jnp.asarray(x), jnp.asarray(y)), 20.0,
+                               atol=1e-3)
+    assert psnr(jnp.asarray(x), jnp.asarray(x)) == 100.0
+
+
+class TestMsSsim:
+    def test_identical_is_one(self):
+        x = RNG.normal(size=(2, 32, 32, 32)).astype(np.float32).clip(-1, 1)
+        assert ms_ssim_3d(x, x) == pytest.approx(1.0, abs=1e-4)
+
+    def test_orders_similarity(self):
+        x = RNG.normal(size=(2, 32, 32, 32)).astype(np.float32).clip(-1, 1)
+        near = np.clip(x + 0.05 * RNG.normal(size=x.shape).astype(np.float32),
+                       -1, 1)
+        far = RNG.normal(size=x.shape).astype(np.float32).clip(-1, 1)
+        s_near = ms_ssim_3d(x, near)
+        s_far = ms_ssim_3d(x, far)
+        assert 0 < s_far < s_near < 1.0
+
+    def test_single_scale_matches_torch_gaussian_ssim(self):
+        """Single-scale SSIM vs an independent torch oracle (separable
+        gaussian filtering, standard SSIM formula)."""
+        from gan3d_tpu.eval.metrics import _gaussian_window, _ssim_3d
+
+        x = RNG.random((1, 12, 12, 12, 1)).astype(np.float32)
+        y = RNG.random((1, 12, 12, 12, 1)).astype(np.float32)
+        win = _gaussian_window(7, 1.5)
+        ours, _ = _ssim_3d(jnp.asarray(x), jnp.asarray(y), win)
+
+        # torch oracle
+        w1 = torch.from_numpy(np.asarray(win, np.float32))
+        xt = torch.from_numpy(np.moveaxis(x, -1, 1))
+        yt = torch.from_numpy(np.moveaxis(y, -1, 1))
+
+        def blur(t):
+            t = F.conv3d(t, w1.reshape(1, 1, 7, 1, 1))
+            t = F.conv3d(t, w1.reshape(1, 1, 1, 7, 1))
+            return F.conv3d(t, w1.reshape(1, 1, 1, 1, 7))
+
+        c1, c2 = 0.01**2, 0.03**2
+        mx, my = blur(xt), blur(yt)
+        sx = blur(xt * xt) - mx * mx
+        sy = blur(yt * yt) - my * my
+        sxy = blur(xt * yt) - mx * my
+        ssim_map = ((2 * mx * my + c1) * (2 * sxy + c2)) / (
+            (mx * mx + my * my + c1) * (sx + sy + c2))
+        np.testing.assert_allclose(float(ours[0]), float(ssim_map.mean()),
+                                   rtol=1e-4)
+
+
+class TestFrechet:
+    def test_analytic_mean_shift(self):
+        # FID between N(0, I) and N(mu, I) -> ||mu||^2 as n -> inf
+        n, d = 20000, 8
+        a = RNG.normal(size=(n, d))
+        mu = np.full(d, 0.5)
+        b = RNG.normal(size=(n, d)) + mu
+        fd = frechet_distance(a, b)
+        assert fd == pytest.approx(float(mu @ mu), abs=0.15)
+
+    def test_zero_for_same_distribution(self):
+        a = RNG.normal(size=(5000, 6))
+        b = RNG.normal(size=(5000, 6))
+        assert frechet_distance(a, b) < 0.05
+
+
+class TestFIDResNet:
+    def test_shapes_and_dilation_spatial(self):
+        from gan3d_tpu.eval.fid_resnet import get_fid_model
+
+        model, variables, features = get_fid_model(None)
+        x = jnp.asarray(RNG.normal(size=(2, 32, 32, 32, 1)), jnp.float32)
+        fmap = model.apply(variables, x)
+        # stem /2, maxpool /2, layer2 /2; layers 3-4 dilated (no stride)
+        assert fmap.shape == (2, 4, 4, 4, 2048)
+        f = features(x)
+        assert f.shape == (2, 2048)
+        assert np.isfinite(np.asarray(f)).all()
+
+    def test_torch_weight_conversion(self, tmp_path):
+        """Round-trip a synthetic MedicalNet-style state_dict (module.
+        prefixes, torch layouts) through the converter."""
+        from gan3d_tpu.eval.fid_resnet import FIDResNet50, load_torch_weights
+
+        model = FIDResNet50()
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, 16, 16, 16, 1)))
+
+        sd = {}
+
+        def conv_key(name, kernel):
+            # flax [kd,kh,kw,I,O] -> torch [O,I,kd,kh,kw]
+            sd[f"module.{name}.weight"] = torch.from_numpy(
+                np.asarray(kernel).transpose(4, 3, 0, 1, 2).copy())
+
+        def bn_key(name, p, s):
+            sd[f"module.{name}.weight"] = torch.from_numpy(np.asarray(p["scale"]))
+            sd[f"module.{name}.bias"] = torch.from_numpy(np.asarray(p["bias"]))
+            sd[f"module.{name}.running_mean"] = torch.from_numpy(
+                np.asarray(s["mean"]))
+            sd[f"module.{name}.running_var"] = torch.from_numpy(
+                np.asarray(s["var"]))
+
+        params, stats = variables["params"], variables["batch_stats"]
+        for mod in params:
+            if mod == "conv1":
+                conv_key("conv1", params[mod]["kernel"])
+            elif mod == "bn1":
+                bn_key("bn1", params[mod], stats[mod])
+            else:  # layerL_B
+                layer, block = mod.rsplit("_", 1)
+                for sub in params[mod]:
+                    tname = {"downsample_conv": "downsample.0",
+                             "downsample_bn": "downsample.1"}.get(sub, sub)
+                    if "conv" in sub:
+                        conv_key(f"{layer}.{block}.{tname}",
+                                 params[mod][sub]["kernel"])
+                    else:
+                        bn_key(f"{layer}.{block}.{tname}", params[mod][sub],
+                               stats[mod][sub])
+
+        path = str(tmp_path / "resnet_50.pth")
+        torch.save({"state_dict": sd}, path)
+        loaded = load_torch_weights(path)
+        x = jnp.asarray(RNG.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+        out_a = model.apply(variables, x)
+        out_b = model.apply(loaded, x)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                                   atol=1e-5)
+
+    def test_bottleneck_vs_torch_functional(self):
+        """Stem bottleneck numerical parity vs a torch functional oracle
+        (1x1 -> BN/relu -> 3x3 dilated -> BN/relu -> 1x1 -> BN + shortcut)."""
+        from gan3d_tpu.eval.fid_resnet import Bottleneck
+
+        blk = Bottleneck(planes=4, stride=1, dilation=2, has_downsample=True)
+        x = RNG.normal(size=(1, 6, 8, 8, 8)).astype(np.float32)  # NCDHW
+        xj = jnp.asarray(np.moveaxis(x, 1, -1))
+        variables = blk.init(jax.random.key(0), xj)
+        out = blk.apply(variables, xj)
+
+        p, s = variables["params"], variables["batch_stats"]
+
+        def tw(k):  # flax conv kernel -> torch layout
+            return torch.from_numpy(
+                np.asarray(k).transpose(4, 3, 0, 1, 2).copy())
+
+        def tbn(t, mod):
+            return F.batch_norm(
+                t, torch.from_numpy(np.asarray(s[mod]["mean"])),
+                torch.from_numpy(np.asarray(s[mod]["var"])),
+                torch.from_numpy(np.asarray(p[mod]["scale"])),
+                torch.from_numpy(np.asarray(p[mod]["bias"])), False, 0., 1e-5)
+
+        xt = torch.from_numpy(x)
+        h = F.relu(tbn(F.conv3d(xt, tw(p["conv1"]["kernel"])), "bn1"))
+        h = F.conv3d(h, tw(p["conv2"]["kernel"]), dilation=2, padding=2)
+        h = F.relu(tbn(h, "bn2"))
+        h = tbn(F.conv3d(h, tw(p["conv3"]["kernel"])), "bn3")
+        sc = tbn(F.conv3d(xt, tw(p["downsample_conv"]["kernel"])),
+                 "downsample_bn")
+        ref = F.relu(h + sc).numpy()
+        np.testing.assert_allclose(np.moveaxis(np.asarray(out), -1, 1), ref,
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_fid3d_separates_distributions():
+    from gan3d_tpu.eval.fid_resnet import get_fid_model
+
+    _, _, features = get_fid_model(None)
+    a = RNG.normal(size=(8, 32, 32, 32, 1)).astype(np.float32)
+    b = RNG.normal(size=(8, 32, 32, 32, 1)).astype(np.float32)
+    c = RNG.uniform(size=(8, 32, 32, 32, 1)).astype(np.float32)
+    near = fid_3d(features, a, b)
+    far = fid_3d(features, a, c)
+    assert far > near >= 0

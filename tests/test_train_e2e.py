@@ -1,0 +1,90 @@
+"""End-to-end training smoke tests on CPU (BASELINE config 1: DCGAN 32^3).
+
+Covers: trainer construction, fused step, loss movement, checkpoint/resume,
+image + params artifacts, and data parallelism over the virtual 8-device
+mesh.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gan3d_tpu.config import Config
+from gan3d_tpu.data.datasets import NpzDataset
+from gan3d_tpu.train import Trainer
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    x = np.random.default_rng(0).normal(
+        size=(16, 16, 16, 16)).astype(np.float32)
+    path = str(tmp_path / "train.npz")
+    np.savez(path, X=np.clip(x, -1, 1))
+    return NpzDataset(path)
+
+
+def small_cfg(tmp_path, **kw):
+    base = dict(resolution=16, z_size=16, filterG=8, filterD=8, batch_size=4,
+                niters=3, iterD=2, steps_per_log=1, steps_per_img_log=2,
+                steps_per_ckpt=2, log_dir=str(tmp_path / "log"),
+                compute_dtype="float32", data_loader_workers=1, num_devices=1)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_dcgan_wgan_train_and_resume(dataset, tmp_path, capsys):
+    cfg = small_cfg(tmp_path, dcgan=True)
+    t = Trainer(dataset, cfg)
+    t.train()
+    out = capsys.readouterr().out
+    assert "Starting Training..." in out
+    assert "D(x):" in out and "...Done" in out
+    log = cfg.log_dir
+    assert os.path.isfile(os.path.join(log, "params.json"))
+    assert os.path.isfile(os.path.join(log, "images", "0.png"))
+    assert len(t.G_losses) == 3 and len(t.D_losses) == 3
+
+    # resume: niters+2 continues from checkpointed step
+    cfg2 = small_cfg(tmp_path, dcgan=True, niters=5)
+    t2 = Trainer(dataset, cfg2)
+    t2.train()
+    out2 = capsys.readouterr().out
+    # Final checkpoint holds step=3 (completed steps; unlike the reference,
+    # resume does not re-run the last step).
+    assert "starting from step 3" in out2
+
+
+def test_biggan_hinge_train(dataset, tmp_path):
+    cfg = small_cfg(tmp_path, biggan=True, hinge=True)
+    t = Trainer(dataset, cfg)
+    t.train()
+    assert np.isfinite(t.G_losses).all()
+    assert np.isfinite(np.asarray(t.D_losses)).all()
+
+
+def test_data_parallel_8dev(dataset, tmp_path):
+    import jax
+
+    assert len(jax.devices()) == 8
+    cfg = small_cfg(tmp_path, dcgan=True, batch_size=8, niters=2,
+                    num_devices=0)
+    t = Trainer(dataset, cfg)
+    t.train()
+    assert np.isfinite(t.G_losses).all()
+
+
+def test_batch_not_divisible_raises(dataset, tmp_path):
+    cfg = small_cfg(tmp_path, dcgan=True, batch_size=6, num_devices=0)
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(dataset, cfg)
+
+
+def test_determinism_same_seed(dataset, tmp_path):
+    cfg_a = small_cfg(tmp_path, dcgan=True, niters=2, log_dir=str(tmp_path / "a"))
+    ta = Trainer(dataset, cfg_a)
+    ta.train()
+    cfg_b = small_cfg(tmp_path, dcgan=True, niters=2, log_dir=str(tmp_path / "b"))
+    tb = Trainer(dataset, cfg_b)
+    tb.train()
+    np.testing.assert_allclose(ta.G_losses, tb.G_losses, rtol=1e-5)

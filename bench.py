@@ -42,7 +42,7 @@ def _enable_compile_cache() -> None:
 
 
 def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
-            filters: int = 64) -> float:
+            filters: int = 64, remat: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -56,14 +56,21 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
 
     cfg = Config(biggan=True, hinge=True, resolution=resolution,
                  filterG=filters, filterD=filters, z_size=512,
-                 batch_size=batch_size, iterD=2)
+                 batch_size=batch_size, iterD=2, remat=remat)
     mesh = make_mesh(1)
     G, D = build_models(cfg)
     key = jax.random.key(0)
     z0 = jnp.zeros((batch_size, cfg.z_size))
-    gv = G.init({"params": key}, z0)
-    fake = G.apply(gv, z0, train=True, mutable=["batch_stats", "spectral"])[0]
-    dv = D.init({"params": key}, fake)
+    t = time.perf_counter()
+    # jit the inits: eager init dispatches hundreds of tiny compiles.
+    gv = jax.jit(G.init)({"params": key}, z0)
+    fshape = jax.eval_shape(
+        lambda v, z: G.apply(v, z, train=True,
+                             mutable=["batch_stats", "spectral"])[0], gv, z0)
+    dv = jax.jit(D.init)({"params": key},
+                         jnp.zeros(fshape.shape, jnp.float32))
+    jax.block_until_ready((gv, dv))
+    print(f"# init {time.perf_counter() - t:.1f}s", flush=True)
     g_tx = make_optimizer(cfg.lrG, cfg.adam_b1, cfg.adam_b2)
     d_tx = make_optimizer(cfg.lrD, cfg.adam_b1, cfg.adam_b2)
     state = TrainState(
@@ -90,9 +97,11 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
         batch_in)
     base_key = jax.random.key(1)
 
+    t = time.perf_counter()
     for _ in range(warmup):
         state, metrics, _ = step(state, reals, base_key)
     jax.block_until_ready(metrics)
+    print(f"# compile+warmup {time.perf_counter() - t:.1f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics, _ = step(state, reals, base_key)
@@ -112,16 +121,19 @@ def main() -> None:
     iters = 5 if a.quick else 20
     warmup = 2 if a.quick else 3
 
-    candidates = [a.batch] if a.batch else [16, 8, 4]
+    if a.batch:
+        candidates = [(a.batch, False), (a.batch, True)]
+    else:
+        candidates = [(16, False), (16, True), (8, False), (4, False)]
     vps, used = None, None
-    for b in candidates:
+    for b, remat in candidates:
         try:
-            vps = measure(b, iters, warmup, a.resolution, a.filters)
-            used = b
+            vps = measure(b, iters, warmup, a.resolution, a.filters, remat)
+            used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback
-            print(f"# batch {b} failed ({type(e).__name__}); retrying smaller",
-                  flush=True)
+            print(f"# batch {b} remat={remat} failed ({type(e).__name__}); "
+                  "retrying", flush=True)
     if vps is None:
         raise SystemExit("benchmark failed at all batch sizes")
 

@@ -74,6 +74,10 @@ class Config:
     platform: str = ""          # force a JAX platform ('cpu'/'tpu'); "" = auto
     gp_weight: float = 0.0      # WGAN-GP weight (reference has it commented
                                 # out at trainer.py:242; opt-in here)
+    sg2_reg_grads: bool = False  # False = reference-faithful: R1/PL computed
+                                 # with create_graph=False contribute NO
+                                 # parameter gradients (stylegan.py:62, 88);
+                                 # True = NVIDIA-original regularization
 
     # ------------------------------------------------------------------
     def family(self) -> str:

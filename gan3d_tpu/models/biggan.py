@@ -61,22 +61,26 @@ class Generator(nn.Module):
         h = h.reshape(h.shape[0], arch["in_channels"][0], 4, 4, 4)
         h = jnp.transpose(h, (0, 2, 3, 4, 1))
 
+        # cfg.remat: rematerialize each deep block in backward (activation
+        # memory at 128^3 — SURVEY §7 hard part 6).
+        GB = nn.remat(GBlockDeep, static_argnums=(2, 3)) if cfg.remat \
+            else GBlockDeep
         block_kw = dict(plain=plain, dtype=dtype, param_dtype=jnp.float32,
                         bn_axis_name=self.bn_axis_name)
         for idx in range(len(arch["out_channels"])):
             cin, cout = arch["in_channels"][idx], arch["out_channels"][idx]
             if cfg.biggan:
                 # Deep pattern: block0 keeps channels, block1 changes + upsamples.
-                h = GBlockDeep(cin, cin, upsample=False,
+                h = GB(cin, cin, upsample=False,
                                name=f"g{idx}_0", **block_kw)(
                                    h, train, update_stats)
-                h = GBlockDeep(cin, cout, upsample=True,
-                               name=f"g{idx}_1", **block_kw)(
-                                   h, train, update_stats)
+                h = GB(cin, cout, upsample=True,
+                       name=f"g{idx}_1", **block_kw)(
+                           h, train, update_stats)
             else:
-                h = GBlockDeep(cin, cout, upsample=True,
-                               name=f"g{idx}_0", **block_kw)(
-                                   h, train, update_stats)
+                h = GB(cin, cout, upsample=True,
+                       name=f"g{idx}_0", **block_kw)(
+                           h, train, update_stats)
             if (cfg.sagan or cfg.biggan) and arch["attention"][
                     arch["resolution"][idx]]:
                 h = SelfAttention3d(cout, dtype=dtype,
@@ -110,18 +114,20 @@ class Discriminator(nn.Module):
                      plain=cfg.sngan, kernel_init=_ORTHO, dtype=dtype,
                      name="input_conv")(x.astype(dtype), update_stats)
 
+        DB = nn.remat(DBlockDeep, static_argnums=(2,)) if cfg.remat \
+            else DBlockDeep
         kw = dict(dtype=dtype, param_dtype=jnp.float32)
         for idx in range(len(arch["out_channels"])):
             cin, cout = arch["in_channels"][idx], arch["out_channels"][idx]
             down = arch["downsample"][idx]
             if cfg.biggan:
-                h = DBlockDeep(cin, cout, downsample=down,
-                               name=f"d{idx}_0", **kw)(h, update_stats)
-                h = DBlockDeep(cout, cout, downsample=False,
-                               name=f"d{idx}_1", **kw)(h, update_stats)
+                h = DB(cin, cout, downsample=down,
+                       name=f"d{idx}_0", **kw)(h, update_stats)
+                h = DB(cout, cout, downsample=False,
+                       name=f"d{idx}_1", **kw)(h, update_stats)
             else:
-                h = DBlockDeep(cin, cout, downsample=down,
-                               name=f"d{idx}_0", **kw)(h, update_stats)
+                h = DB(cin, cout, downsample=down,
+                       name=f"d{idx}_0", **kw)(h, update_stats)
             if (cfg.sagan or cfg.biggan) and arch["attention"][
                     arch["resolution"][idx]]:
                 h = SelfAttention3d(cout, dtype=dtype,

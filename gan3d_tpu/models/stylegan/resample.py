@@ -1,0 +1,206 @@
+"""3D FIR resampling: upfirdn3d and conv3d_resample (NDHWC).
+
+Reference: stylegan.py:126-294. The reference's `_upfirdn3d_ref` materializes
+a zero-interleaved upsampled tensor, pads, runs a depthwise conv with the
+full separable-outer-product filter, then stride-slices to downsample. On
+TPU all four phases collapse into ONE `lax.conv_general_dilated`:
+
+    upfirdn(x, f, up, down, pad)
+      = depthwise_conv(x; lhs_dilation=up, window_strides=down, padding=pad)
+
+so the zero-stuffed intermediate never exists in HBM. XLA supports negative
+padding, which covers the reference's pad-or-crop semantics. Numerical
+parity with the reference formulation is exact (same taps, same order).
+
+Filter setup matches Conv3dLayer (stylegan.py:462-465): the 1D [1,3,3,1]
+filter is outer-product expanded to 4x4x4 and normalized to sum 1. NB the
+reference builds the 3D filter via `repeat((1,4,1)).reshape(4,4,4)` of the
+2D outer product — which TILES the 2D filter along depth rather than taking
+a true 3D outer product; `setup_filter` reproduces exactly that.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+IntOr3 = Union[int, Sequence[int]]
+
+
+def setup_filter(f1d=(1, 3, 3, 1)) -> jnp.ndarray:
+    """Reference Conv3dLayer filter construction (stylegan.py:462-465)."""
+    f = np.asarray(f1d, np.float32)
+    f2 = f[None, :] * f[:, None]                 # [4, 4]
+    f3 = np.tile(f2, (1, len(f1d))).reshape(len(f1d), len(f1d), len(f1d))
+    f3 = f3 / f3.sum()
+    return jnp.asarray(f3)
+
+
+def _parse3(v: IntOr3) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    t = tuple(int(x) for x in v)
+    assert len(t) == 3
+    return t  # type: ignore[return-value]
+
+
+def _parse_padding(padding) -> Tuple[int, int, int, int, int, int]:
+    if isinstance(padding, int):
+        padding = [padding] * 3
+    padding = list(padding)
+    if len(padding) == 3:
+        padding = [padding[0], padding[0], padding[1], padding[1],
+                   padding[2], padding[2]]
+    a0, a1, b0, b1, c0, c1 = padding
+    return a0, a1, b0, b1, c0, c1
+
+
+def upfirdn3d(x: jax.Array, f: Optional[jnp.ndarray], up: IntOr3 = 1,
+              down: IntOr3 = 1, padding=0, flip_filter: bool = False,
+              gain: float = 1.0) -> jax.Array:
+    """Fused upsample-pad-FIR-downsample on [N, D, H, W, C].
+
+    Padding follows the reference's axis convention (x=W, y=H, z=D pairs).
+    """
+    if f is None:
+        f = jnp.ones((1, 1, 1), jnp.float32)
+    upx, upy, upz = _parse3(up)
+    downx, downy, downz = _parse3(down)
+    px0, px1, py0, py1, pz0, pz1 = _parse_padding(padding)
+
+    c = x.shape[-1]
+    f = f * (gain ** (f.ndim / 3))
+    if not flip_filter:
+        f = jnp.flip(f, axis=tuple(range(f.ndim)))
+    while f.ndim < 3:
+        f = f[None]
+    # Depthwise kernel [kd, kh, kw, 1, C]; XLA convolution is correlation,
+    # and we already flipped above, matching the reference's true-conv path.
+    kern = jnp.tile(f[:, :, :, None, None], (1, 1, 1, 1, c)).astype(x.dtype)
+    # lhs_dilation produces (n-1)*up+1 samples; the reference's
+    # zero-interleave produces n*up (trailing zeros), so fold the missing
+    # up-1 trailing zeros into the high-side padding.
+    return lax.conv_general_dilated(
+        x, kern,
+        window_strides=(downz, downy, downx),
+        padding=[(pz0, pz1 + upz - 1), (py0, py1 + upy - 1),
+                 (px0, px1 + upx - 1)],
+        lhs_dilation=(upz, upy, upx),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=c,
+        preferred_element_type=x.dtype,
+    )
+
+
+def _conv(x, w, stride=1, padding=0, groups=1, flip_weight=True):
+    """Plain conv; flip_weight=True is correlation (torch conv semantics)."""
+    if not flip_weight:
+        w = jnp.flip(w, axis=(0, 1, 2))
+    s = _parse3(stride)
+    p = padding if isinstance(padding, list) else [(q, q) for q in _parse3(padding)]
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=s, padding=p,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=groups, preferred_element_type=x.dtype)
+
+
+def conv3d_resample(x: jax.Array, w: jax.Array, f: Optional[jnp.ndarray] = None,
+                    up: int = 1, down: int = 1, padding=0, groups: int = 1,
+                    flip_weight: bool = True, flip_filter: bool = False
+                    ) -> jax.Array:
+    """Conv with optional FIR up/downsampling (reference stylegan.py:202-294).
+
+    w: [kd, kh, kw, in/groups, out]. Single pre-padding, same case analysis
+    and padding algebra as the reference; all paths lower to 1-2 fused XLA
+    convolutions.
+    """
+    kd, kh, kw = w.shape[:3]
+    if f is None:
+        fw = fh = fd = 1
+    else:
+        fd, fh, fw = f.shape[2], f.shape[1], f.shape[0]
+    px0, px1, py0, py1, pz0, pz1 = _parse_padding(padding)
+
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+        pz0 += (fd + up - 1) // 2
+        pz1 += (fd - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+        pz0 += (fd - down + 1) // 2
+        pz1 += (fd - down) // 2
+
+    # 1x1x1 kernel fast paths.
+    if kw == kh == kd == 1 and down > 1 and up == 1:
+        x = upfirdn3d(x, f, down=down, padding=[px0, px1, py0, py1, pz0, pz1],
+                      flip_filter=flip_filter)
+        return _conv(x, w, groups=groups, flip_weight=flip_weight)
+    if kw == kh == kd == 1 and up > 1 and down == 1:
+        x = _conv(x, w, groups=groups, flip_weight=flip_weight)
+        return upfirdn3d(x, f, up=up, padding=[px0, px1, py0, py1, pz0, pz1],
+                         gain=up ** 2, flip_filter=flip_filter)
+
+    # Downsample-only: FIR then strided conv.
+    if down > 1 and up == 1:
+        x = upfirdn3d(x, f, padding=[px0, px1, py0, py1, pz0, pz1],
+                      flip_filter=flip_filter)
+        return _conv(x, w, stride=down, groups=groups, flip_weight=flip_weight)
+
+    # Upsample: fractionally-strided conv then FIR (reference
+    # stylegan.py:262-282 builds this from torch conv_transpose3d; here it
+    # is one lhs-dilated convolution with the same effective taps).
+    if up > 1:
+        assert groups == 1, "grouped up-conv only serves fused modconv, " \
+                            "which the TPU path does not use"
+        px0 -= kw - 1
+        px1 -= kw - up
+        py0 -= kh - 1
+        py1 -= kh - up
+        pz0 -= kd - 1
+        pz1 -= kd - up
+        pxt = max(min(-px0, -px1), 0)
+        pyt = max(min(-py0, -py1), 0)
+        pzt = max(min(-pz0, -pz1), 0)
+        # Correlation when flip_weight (torch conv semantics), convolution
+        # otherwise; conv_transpose's internal flip folds into this choice.
+        wk = w if flip_weight else jnp.flip(w, axis=(0, 1, 2))
+        x = lax.conv_general_dilated(
+            x, wk.astype(x.dtype), window_strides=(1, 1, 1),
+            padding=[(kd - 1 - pzt, kd - 1 - pzt),
+                     (kh - 1 - pyt, kh - 1 - pyt),
+                     (kw - 1 - pxt, kw - 1 - pxt)],
+            lhs_dilation=(up, up, up),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=x.dtype)
+        x = upfirdn3d(x, f, padding=[px0 + pxt, px1 + pxt, py0 + pyt,
+                                     py1 + pyt, pz0 + pzt, pz1 + pzt],
+                      gain=up ** 2, flip_filter=flip_filter)
+        if down > 1:
+            x = upfirdn3d(x, f, down=down, flip_filter=flip_filter)
+        return x
+
+    # Plain conv path.
+    if up == 1 and down == 1:
+        if px0 == px1 and py0 == py1 and pz0 == pz1 \
+                and px0 >= 0 and py0 >= 0 and pz0 >= 0:
+            return _conv(x, w, padding=[(pz0, pz0), (py0, py0), (px0, px0)],
+                         groups=groups, flip_weight=flip_weight)
+
+    # Generic fallback.
+    x = upfirdn3d(x, f if up > 1 else None, up=up,
+                  padding=[px0, px1, py0, py1, pz0, pz1], gain=up ** 2,
+                  flip_filter=flip_filter)
+    x = _conv(x, w, groups=groups, flip_weight=flip_weight)
+    if down > 1:
+        x = upfirdn3d(x, f, down=down, flip_filter=flip_filter)
+    return x

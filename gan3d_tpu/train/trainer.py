@@ -72,7 +72,12 @@ class Trainer:
         z0 = jnp.zeros((cfg.batch_size, cfg.z_size), jnp.float32)
         x0 = jnp.zeros((cfg.batch_size, cfg.resolution, cfg.resolution,
                         cfg.resolution, 1), jnp.float32)
-        g_vars = self.G.init({"params": kg}, z0)
+        g_rngs = {"params": kg}
+        if self.family == "stylegan2":
+            g_rngs["noise"] = jax.random.fold_in(kg, 1)
+        elif self.family == "stylegan":
+            g_rngs["mixing"] = jax.random.fold_in(kg, 2)
+        g_vars = self.G.init(g_rngs, z0)
         d_rngs = {"params": kd}
         if cfg.msl:
             d_rngs["crops"] = jax.random.fold_in(kd, 1)
@@ -89,7 +94,10 @@ class Trainer:
             step=jnp.int32(0),
             g_params=g_params, g_state=g_state, g_opt=self.g_tx.init(g_params),
             d_params=d_params, d_state=d_state, d_opt=self.d_tx.init(d_params),
-            ema_params=(g_params if self.family == "stylegan2" else None),
+            # jnp.copy: ema must not alias g_params — the jitted step donates
+            # the state and XLA rejects the same buffer appearing twice.
+            ema_params=(jax.tree.map(jnp.copy, g_params)
+                        if self.family == "stylegan2" else None),
             pl_mean=(jnp.float32(0) if self.family in ("stylegan2", "stylegan")
                      else None),
         )
@@ -114,8 +122,11 @@ class Trainer:
                              out_shardings=(rep, rep, batch_out),
                              donate_argnums=(0,))
 
+        sample_key = jax.random.fold_in(self._base_key, 0xA5)
+
         def sample_fn(state: TrainState, noise: jax.Array):
-            out, g_state = _apply_g(self.G, self.family, state, noise)
+            out, g_state = _apply_g(self.G, self.family, state, noise,
+                                    sample_key)
             return out, state.replace(g_state=g_state)
 
         self._sample = jax.jit(sample_fn, in_shardings=(rep, batch_out),
@@ -238,14 +249,23 @@ class Trainer:
                   f"{n_steps / dt:.2f} steps/s)", flush=True)
 
 
-def _apply_g(G, family: str, state: TrainState, noise: jax.Array):
+def _apply_g(G, family: str, state: TrainState, noise: jax.Array,
+             rng_key=None):
     """Generator forward in train mode with mutable state (the reference
-    never switches G to eval for logging)."""
+    never switches G to eval for logging, so BN/SN/mixing stay live)."""
     variables = {"params": state.g_params, **state.g_state}
     mut = list(state.g_state.keys())
-    out = G.apply(variables, noise, train=True, mutable=mut) if mut else (
-        G.apply(variables, noise, train=True), {})
-    fake, new_state = out
-    if family == "stylegan2":
-        fake = fake[0] if isinstance(fake, tuple) else fake
+    rngs = None
+    if rng_key is not None:
+        if family == "stylegan2":
+            rngs = {"noise": rng_key}
+        elif family == "stylegan":
+            rngs = {"mixing": rng_key}
+    if mut:
+        fake, new_state = G.apply(variables, noise, train=True, mutable=mut,
+                                  rngs=rngs)
+    else:
+        fake, new_state = G.apply(variables, noise, train=True, rngs=rngs), {}
+    if isinstance(fake, tuple):  # stylegan2 returns (img, ws)
+        fake = fake[0]
     return fake, new_state

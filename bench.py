@@ -132,8 +132,9 @@ def main() -> None:
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback
-            print(f"# batch {b} remat={remat} failed ({type(e).__name__}); "
-                  "retrying", flush=True)
+            msg = str(e).split("\n")[0][:200]
+            print(f"# batch {b} remat={remat} failed ({type(e).__name__}: "
+                  f"{msg}); retrying", flush=True)
     if vps is None:
         raise SystemExit("benchmark failed at all batch sizes")
 

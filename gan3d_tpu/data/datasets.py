@@ -39,9 +39,16 @@ class NpzDataset:
 
 
 class NpzDirDataset:
-    """Directory-of-files dataset (reference: data_handler.py DATA_DIR)."""
+    """Directory-of-files dataset (reference: data_handler.py DATA_DIR).
 
-    def __init__(self, path: str, compat_len: bool = False):
+    With ``native=True`` (default) batches are decoded by the C++ thread-pool
+    decoder (native/npz_loader.cc — zip parse + zlib inflate + clip with no
+    Python-side copies), falling back to numpy transparently when the native
+    library is unavailable.
+    """
+
+    def __init__(self, path: str, compat_len: bool = False,
+                 native: bool = True, native_threads: int = 4):
         self.dir = path
         nums = [int(x[:-4]) for x in os.listdir(path) if x.endswith(".npz")]
         if not nums:
@@ -49,6 +56,18 @@ class NpzDirDataset:
         # Reference uses max(index); files are 0-indexed so the true count is
         # max+1 (assuming a dense range).
         self.len = max(nums) if compat_len else max(nums) + 1
+        self._pool = None
+        self._shape = None
+        if native:
+            try:
+                from gan3d_tpu.data.native import NativeNpzPool, available
+
+                if available():
+                    self._pool = NativeNpzPool(native_threads)
+                    self._shape = self[min(nums)].shape
+            except Exception as e:  # noqa: BLE001
+                print(f"native npz loader disabled: {e}", flush=True)
+                self._pool = None
 
     def __getitem__(self, index: int) -> np.ndarray:
         x = np.load(os.path.join(self.dir, f"{index}.npz"))["X"]
@@ -58,6 +77,9 @@ class NpzDirDataset:
         return self.len
 
     def batch(self, indices: Sequence[int]) -> np.ndarray:
+        if self._pool is not None:
+            paths = [os.path.join(self.dir, f"{int(i)}.npz") for i in indices]
+            return self._pool.decode_batch(paths, self._shape)
         return np.stack([self[int(i)] for i in indices])
 
 

@@ -39,6 +39,7 @@ import optax
 from gan3d_tpu.config import Config
 from gan3d_tpu.train.state import TrainState
 from gan3d_tpu.utils.prng import fold_step
+from gan3d_tpu.utils.profiling import scope
 
 STYLE_MIXING_PROB = 0.9
 R1_GAMMA = 10.0
@@ -71,6 +72,7 @@ def build_stylegan_step(cfg: Config, G, D,
             return img, None
         ws = G.apply(variables, z, method=G.map_ws)
         num_ws = ws.shape[1]
+        # style_mixing scope mirrors reference stylegan.py:26
         kcut, kprob, kz2 = jax.random.split(kmix, 3)
         cutoff = jax.random.randint(kcut, (), 1, num_ws)
         cutoff = jnp.where(
@@ -124,8 +126,9 @@ def build_stylegan_step(cfg: Config, G, D,
             err_real = jax.lax.cond(do_r1, with_r1, without_r1)
             return loss_dgen + err_real, (err_real, loss_dgen)
 
-        grads, (err_real, err_fake) = jax.grad(
-            loss_fn, has_aux=True)(state.d_params)
+        with scope("Dgen_Dreal_backward"):
+            grads, (err_real, err_fake) = jax.grad(
+                loss_fn, has_aux=True)(state.d_params)
         updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
         state = state.replace(d_params=d_params, d_opt=d_opt)
@@ -141,8 +144,9 @@ def build_stylegan_step(cfg: Config, G, D,
             gen_logits = d_apply(state.d_params, img)
             return jnp.mean(_softplus(-gen_logits)), img
 
-        (loss_gmain, fake), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.g_params)
+        with scope("Gmain"):
+            (loss_gmain, fake), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.g_params)
 
         # Path-length regularization value (+ optional grads) every 16.
         pl_mean = state.pl_mean

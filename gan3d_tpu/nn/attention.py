@@ -51,12 +51,11 @@ class SelfAttention3d(nn.Module):
         g = g.reshape(n, L // 8, ch_)
         v_in = v_in.reshape(n, L // 8, ch_)
 
-        # scores [N, L, L/8] in fp32; softmax over keys.
-        scores = jnp.einsum("nqc,nkc->nqk", f, g,
-                            preferred_element_type=jnp.float32)
-        beta = jax.nn.softmax(scores, axis=-1)
-        o = jnp.einsum("nqk,nkc->nqc", beta.astype(f.dtype), v_in,
-                       preferred_element_type=jnp.float32).astype(f.dtype)
+        # softmax(Q K^T) V — Pallas blockwise kernel on TPU for large grids,
+        # chunked/dense XLA otherwise (gan3d_tpu.ops.attention).
+        from gan3d_tpu.ops.attention import pooled_attention
+
+        o = pooled_attention(f, g, v_in).astype(f.dtype)
 
         o = o.reshape(n, d, h, w, ch_)
         o = SNConv3d(self.ch, kernel_size=1, padding=0, use_bias=False,

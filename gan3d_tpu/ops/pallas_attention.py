@@ -1,0 +1,146 @@
+"""Blockwise Pallas TPU kernel for pooled-KV attention, with custom VJP.
+
+Shapes: Q [N, L, c], K/V [N, M, c] with M = L/8 and small c (ch/8); at the
+BigGAN 32^3 placement L=32768, M=4096, c=16..64. K and V for one sample fit
+comfortably in VMEM (M*c*4B ≤ 1 MB), so each grid step processes one query
+block against the FULL key set — a single softmax pass, no online-softmax
+bookkeeping — and the [L, M] score matrix only ever exists one
+[BLOCK_Q, M] tile at a time in VMEM.
+
+Forward grid: (N, L / BLOCK_Q). Backward reuses the same tiling; dK/dV are
+accumulated across query blocks into a revisited output block (zeroed on the
+first grid step along the query axis).
+
+All matmuls accumulate in float32 on the MXU (preferred_element_type);
+inputs may be bf16.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 256
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0]                                   # [BQ, c]
+    k = k_ref[0]                                   # [M, c]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [BQ, M]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _fwd(q, k, v):
+    n, L, c = q.shape
+    m = k.shape[1]
+    bq = min(BLOCK_Q, L)
+    grid = (n, L // bq)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+    )(q, k, v)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+    j = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - mx)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)          # [BQ, M] fp32
+
+    do32 = do.astype(jnp.float32)
+    dp = jax.lax.dot_general(do32, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [BQ, M]
+    dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - dsum)                                 # [BQ, M]
+
+    dq = jax.lax.dot_general(ds, k.astype(jnp.float32),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dk_blk = jax.lax.dot_general(ds, q.astype(jnp.float32),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [M, c]
+    dv_blk = jax.lax.dot_general(p.astype(jnp.float32), do32,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_blk.astype(dk_ref.dtype)
+    dv_ref[0] += dv_blk.astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, do):
+    n, L, c = q.shape
+    m = k.shape[1]
+    bq = min(BLOCK_Q, L)
+    grid = (n, L // bq)
+    qspec = pl.BlockSpec((1, bq, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, m, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, qspec],
+        out_specs=(qspec, kspec, kspec),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((n, m, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, m, c), jnp.float32),
+        ),
+    )(q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@jax.custom_vjp
+def pallas_pooled_attention(q: jax.Array, k: jax.Array, v: jax.Array
+                            ) -> jax.Array:
+    return _fwd(q, k, v)
+
+
+def _vjp_fwd(q, k, v):
+    return _fwd(q, k, v), (q, k, v)
+
+
+def _vjp_bwd(res, do):
+    q, k, v = res
+    return _bwd(q, k, v, do)
+
+
+pallas_pooled_attention.defvjp(_vjp_fwd, _vjp_bwd)

@@ -26,6 +26,7 @@ from gan3d_tpu.config import Config
 from gan3d_tpu.train import losses
 from gan3d_tpu.train.state import TrainState
 from gan3d_tpu.utils.prng import fold_step
+from gan3d_tpu.utils.profiling import scope
 
 
 def apply_model(model, params, state, *args, rngs=None, **kw):
@@ -57,8 +58,9 @@ def build_train_step(cfg: Config, G, D,
         kz, kcrop_f, kcrop_r, kgp = jax.random.split(key, 4)
         noise = jax.random.normal(kz, (real.shape[0], cfg.z_size), jnp.float32)
         # G forward in train mode — no grad, but G state updates.
-        fake, g_state = apply_model(G, state.g_params, state.g_state, noise,
-                                    train=True, update_stats=True)
+        with scope("Dgen_forward"):
+            fake, g_state = apply_model(G, state.g_params, state.g_state,
+                                        noise, train=True, update_stats=True)
         fake = jax.lax.stop_gradient(fake).astype(real.dtype)
 
         def loss_fn(d_params):
@@ -83,8 +85,9 @@ def build_train_step(cfg: Config, G, D,
                                                         kgp, gp_weight)
             return err, (d_state, err_real, err_fake)
 
-        grads, (d_state, err_real, err_fake) = jax.grad(
-            loss_fn, has_aux=True)(state.d_params)
+        with scope("D_backward"):
+            grads, (d_state, err_real, err_fake) = jax.grad(
+                loss_fn, has_aux=True)(state.d_params)
         updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
         state = state.replace(g_state=g_state, d_params=d_params,
@@ -110,8 +113,9 @@ def build_train_step(cfg: Config, G, D,
             err = losses.g_adversarial(d_fake.astype(jnp.float32))
             return err, (g_state, d_state, fake)
 
-        (err_g, (g_state, d_state, fake)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.g_params)
+        with scope("Gmain"):
+            (err_g, (g_state, d_state, fake)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.g_params)
         updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
         new_state = state.replace(step=state.step + 1, g_params=g_params,

@@ -145,6 +145,9 @@ class Trainer:
         self._pending: List[Dict[str, Any]] = []
         self.ckpt = CheckpointManager(self.models_dir)
         self._fid_fn = self._make_inloop_fid()
+        from gan3d_tpu.utils.profiling import StepProfiler
+
+        self.profiler = StepProfiler(cfg.profile_dir)
 
     # ------------------------------------------------------------------
     def _make_inloop_fid(self):
@@ -223,6 +226,7 @@ class Trainer:
         t0 = time.time()
         fake = real = None
         for i in range(step_done, cfg.niters):
+            self.profiler.step(i)
             reals = np.stack([next(gen) for _ in range(cfg.iterD)])[..., None]
             reals_dev = jax.device_put(reals, self._batch_in)
             self.state, metrics, fake = self._step(self.state, reals_dev,
@@ -238,6 +242,7 @@ class Trainer:
                 self.save_checkpoint(i)
         # final log + checkpoint (reference trainer.py:172-175, 312)
         i = cfg.niters - 1
+        self.profiler.close()
         self.log_train(i, fake, real)
         self.log_interpolation(i)
         self.save_checkpoint(i)

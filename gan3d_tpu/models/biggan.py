@@ -40,6 +40,7 @@ class Generator(nn.Module):
     cfg: Config
     dtype: Optional[Dtype] = None
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @property
     def dim_z(self) -> int:
@@ -66,7 +67,8 @@ class Generator(nn.Module):
         GB = nn.remat(GBlockDeep, static_argnums=(2, 3)) if cfg.remat \
             else GBlockDeep
         block_kw = dict(plain=plain, dtype=dtype, param_dtype=jnp.float32,
-                        bn_axis_name=self.bn_axis_name)
+                        bn_axis_name=self.bn_axis_name,
+                        bn_groups=self.bn_groups)
         for idx in range(len(arch["out_channels"])):
             cin, cout = arch["in_channels"][idx], arch["out_channels"][idx]
             if cfg.biggan:
@@ -88,6 +90,7 @@ class Generator(nn.Module):
 
         h = nn.relu(BatchNorm3d(arch["out_channels"][-1],
                                 axis_name=self.bn_axis_name,
+                                num_groups=self.bn_groups,
                                 name="out_bn")(h, not train))
         h = SNConv3d(1, kernel_size=3, padding=1, plain=plain,
                      kernel_init=_ORTHO, dtype=dtype, name="out_conv")(

@@ -45,6 +45,7 @@ class Generator(nn.Module):
 
     cfg: Config
     dtype: Optional[Dtype] = None
+    bn_groups: int = 1
 
     @property
     def dim_z(self) -> int:
@@ -63,12 +64,14 @@ class Generator(nn.Module):
         # Stem: 1^3 -> 4^3 (reference: ConvTranspose3d(nz, ngf*16, 4, stride=1))
         x = ConvTranspose3d(chans[0], kernel_size=4, stride=1, padding=0,
                             kernel_init=winit, dtype=dtype)(x)
-        x = nn.relu(BatchNorm3d(chans[0], scale_init=_bn_scale_init)(x, not train))
+        x = nn.relu(BatchNorm3d(chans[0], scale_init=_bn_scale_init,
+                                num_groups=self.bn_groups)(x, not train))
         res = 4
         for i, ch in enumerate(chans[1:], start=1):
             x = ConvTranspose3d(ch, kernel_size=4, stride=2, padding=1,
                                 kernel_init=winit, dtype=dtype)(x)
-            x = nn.relu(BatchNorm3d(ch, scale_init=_bn_scale_init)(x, not train))
+            x = nn.relu(BatchNorm3d(ch, scale_init=_bn_scale_init,
+                                    num_groups=self.bn_groups)(x, not train))
             res *= 2
             if cfg.sagan and res == attn_res:
                 x = SelfAttention3d(ch, dtype=dtype)(x, update_stats)

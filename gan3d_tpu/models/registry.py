@@ -17,6 +17,17 @@ def _dtype(cfg: Config):
     return jnp.dtype(cfg.compute_dtype)
 
 
+def _bn_groups(cfg: Config) -> int:
+    """cfg.sync_bn=False: per-replica statistics, expressed as batch groups
+    of batch/ndev samples (SURVEY §5.8 — the reference's DataParallel BN is
+    per replica; sync is the TPU-natural default)."""
+    if cfg.sync_bn:
+        return 1
+    import jax
+
+    return cfg.num_devices or len(jax.devices())
+
+
 def build_models(cfg: Config, bn_axis_name: Optional[str] = None
                  ) -> Tuple[Any, Any]:
     """Return (generator, discriminator) flax modules for the config."""
@@ -24,11 +35,14 @@ def build_models(cfg: Config, bn_axis_name: Optional[str] = None
 
     fam = cfg.family()
     dt = _dtype(cfg)
+    groups = _bn_groups(cfg)
     if fam == "hybrid":
-        return (biggan.Generator(cfg, dtype=dt, bn_axis_name=bn_axis_name),
+        return (biggan.Generator(cfg, dtype=dt, bn_axis_name=bn_axis_name,
+                                 bn_groups=groups),
                 dcgan.Discriminator(cfg, dtype=dt))
     if fam == "dcgan":
-        return (dcgan.Generator(cfg, dtype=dt), dcgan.Discriminator(cfg, dtype=dt))
+        return (dcgan.Generator(cfg, dtype=dt, bn_groups=groups),
+                dcgan.Discriminator(cfg, dtype=dt))
     if fam == "stylegan2":
         from gan3d_tpu.models.stylegan import Discriminator as StyleD
         from gan3d_tpu.models.stylegan import Generator as StyleG
@@ -39,5 +53,6 @@ def build_models(cfg: Config, bn_axis_name: Optional[str] = None
         from gan3d_tpu.models.stylegan import StyleGAN1Generator
 
         return (StyleGAN1Generator(cfg, dtype=dt), StyleD(cfg, dtype=dt))
-    return (biggan.Generator(cfg, dtype=dt, bn_axis_name=bn_axis_name),
+    return (biggan.Generator(cfg, dtype=dt, bn_axis_name=bn_axis_name,
+                             bn_groups=groups),
             biggan.Discriminator(cfg, dtype=dt))

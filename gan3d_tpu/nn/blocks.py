@@ -35,6 +35,7 @@ class GBlockDeep(nn.Module):
     plain: bool = False  # reference sngan flag: True = no spectral norm
     channel_ratio: int = 4
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -46,7 +47,7 @@ class GBlockDeep(nn.Module):
                   param_dtype=self.param_dtype)
         bn = lambda feats, name: BatchNorm3d(  # noqa: E731
             feats, name=name, axis_name=self.bn_axis_name,
-            param_dtype=self.param_dtype)
+            num_groups=self.bn_groups, param_dtype=self.param_dtype)
 
         h = nn.relu(bn(self.in_channels, "bn1")(x, not train))
         h = SNConv3d(hid, kernel_size=1, padding=0, name="conv1", **kw)(

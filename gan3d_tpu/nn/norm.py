@@ -26,6 +26,20 @@ Dtype = Any
 
 
 class BatchNorm3d(nn.Module):
+    """BatchNorm with three statistics scopes:
+
+    - num_groups=1 (default): statistics over the full (global) batch — under
+      jit-SPMD this is synchronized BN by construction;
+    - num_groups=G > 1: statistics per contiguous batch group of N/G samples
+      with no cross-group reduction — the TPU-native expression of the
+      reference's per-replica nn.DataParallel BN (cfg.sync_bn=False sets
+      G = number of devices); XLA keeps the reduction local to each shard.
+      Running stats update with the group-mean of group statistics. (NB the
+      reference under DataParallel ngpu>1 silently never updates running
+      stats at all — replica buffer updates are discarded by torch.)
+    - axis_name: explicit cross-replica pmean for shard_map contexts.
+    """
+
     features: int
     momentum: float = 0.1          # torch convention: ra += m * (batch - ra)
     eps: float = 1e-5
@@ -33,6 +47,7 @@ class BatchNorm3d(nn.Module):
     scale_init: Callable = nn.initializers.ones
     bias_init: Callable = nn.initializers.zeros
     axis_name: Optional[str] = None
+    num_groups: int = 1
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -45,6 +60,25 @@ class BatchNorm3d(nn.Module):
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+            y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        elif self.num_groups > 1 and x.shape[0] % self.num_groups == 0:
+            g = self.num_groups
+            n, d, h, w, c = x.shape
+            x32 = x.astype(jnp.float32).reshape(g, n // g, d, h, w, c)
+            mean = jnp.mean(x32, axis=(1, 2, 3, 4), keepdims=True)  # [g,...]
+            mean_sq = jnp.mean(jnp.square(x32), axis=(1, 2, 3, 4),
+                               keepdims=True)
+            var = mean_sq - jnp.square(mean)
+            y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+            y = y.reshape(n, d, h, w, c)
+            if not self.is_initializing():
+                cnt = (n // g) * d * h * w
+                unbiased = var * (cnt / max(cnt - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value \
+                    + m * jnp.mean(mean, axis=0).reshape(c)
+                ra_var.value = (1 - m) * ra_var.value \
+                    + m * jnp.mean(unbiased, axis=0).reshape(c)
         else:
             x32 = x.astype(jnp.float32)
             n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
@@ -60,8 +94,8 @@ class BatchNorm3d(nn.Module):
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
         if self.use_scale_bias:
             scale = self.param("scale", self.scale_init, (self.features,),
                                self.param_dtype)

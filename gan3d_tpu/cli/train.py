@@ -15,6 +15,9 @@ from gan3d_tpu.utils.platform import force_platform
 def main(argv=None) -> None:
     cfg = config_from_args(argv)
     force_platform(cfg.platform)
+    from gan3d_tpu.parallel.mesh import init_distributed
+
+    init_distributed(cfg)
     from gan3d_tpu.train import Trainer
 
     print(cfg, flush=True)

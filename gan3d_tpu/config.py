@@ -78,6 +78,14 @@ class Config:
                                  # with create_graph=False contribute NO
                                  # parameter gradients (stylegan.py:62, 88);
                                  # True = NVIDIA-original regularization
+    track_energy: bool = False   # energy/CO2e estimate -> log_dir/energy.json
+                                 # (reference wires carbontracker but keeps it
+                                 # commented out — trainer.py:6, 93)
+    # ---- multi-host (DCN) — no reference equivalent (SURVEY §2.2) ----
+    distributed: bool = False    # call jax.distributed.initialize at startup
+    coordinator_address: str = ""  # host:port of process 0 ("" = env/auto)
+    process_id: int = -1           # -1 = from environment
+    num_processes: int = 0         # 0 = from environment
 
     # ------------------------------------------------------------------
     def family(self) -> str:

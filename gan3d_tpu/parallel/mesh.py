@@ -36,3 +36,33 @@ def shard_batch(mesh: Mesh, batch):
 
 def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated_sharding(mesh))
+
+
+def init_distributed(cfg) -> None:
+    """Multi-host setup over DCN (call before any backend use). The same
+    jit-SPMD training program then runs unchanged: the mesh spans all global
+    devices and XLA routes the gradient all-reduce over ICI within a slice
+    and DCN across slices."""
+    if not getattr(cfg, "distributed", False):
+        return
+    kwargs = {}
+    if cfg.coordinator_address:
+        kwargs["coordinator_address"] = cfg.coordinator_address
+    if cfg.num_processes:
+        kwargs["num_processes"] = cfg.num_processes
+    if cfg.process_id >= 0:
+        kwargs["process_id"] = cfg.process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def put_global_batch(mesh: Mesh, local_batch, spec: P = None):
+    """Assemble a globally-sharded batch from per-process local data.
+
+    Single-process: plain device_put. Multi-host: each process contributes
+    its local shard of the leading batch axis via
+    jax.make_array_from_process_local_data.
+    """
+    sharding = NamedSharding(mesh, spec if spec is not None else P(DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_batch)

@@ -65,6 +65,9 @@ class Trainer:
         if cfg.batch_size % ndev:
             raise ValueError(
                 f"batch_size {cfg.batch_size} not divisible by {ndev} devices")
+        # Multi-host: each process feeds its slice of the global batch.
+        self._n_proc = jax.process_count()
+        self._local_batch = cfg.batch_size // self._n_proc
         self.G, self.D = build_models(cfg)
 
         key = jax.random.key(cfg.seed)
@@ -132,8 +135,9 @@ class Trainer:
         self._sample = jax.jit(sample_fn, in_shardings=(rep, batch_out),
                                out_shardings=(batch_out, rep))
 
-        # --- data ---
-        self.loader = Loader(dataset, cfg.batch_size, seed=cfg.seed,
+        # --- data (per-host slice of the global batch) ---
+        self.loader = Loader(dataset, self._local_batch,
+                             seed=cfg.seed + jax.process_index(),
                              num_workers=cfg.data_loader_workers)
 
         # --- bookkeeping (reference trainer.py:86-92) ---
@@ -148,6 +152,9 @@ class Trainer:
         from gan3d_tpu.utils.profiling import StepProfiler
 
         self.profiler = StepProfiler(cfg.profile_dir)
+        from gan3d_tpu.utils.energy import EnergyTracker
+
+        self.energy = EnergyTracker(enabled=cfg.track_energy, n_chips=ndev)
 
     # ------------------------------------------------------------------
     def _make_inloop_fid(self):
@@ -227,11 +234,19 @@ class Trainer:
         fake = real = None
         for i in range(step_done, cfg.niters):
             self.profiler.step(i)
+            self.energy.epoch_start()
             reals = np.stack([next(gen) for _ in range(cfg.iterD)])[..., None]
-            reals_dev = jax.device_put(reals, self._batch_in)
+            if self._n_proc == 1:
+                reals_dev = jax.device_put(reals, self._batch_in)
+            else:
+                from gan3d_tpu.parallel.mesh import put_global_batch
+
+                reals_dev = put_global_batch(self.mesh, reals,
+                                             P(None, "data"))
             self.state, metrics, fake = self._step(self.state, reals_dev,
                                                    self._base_key)
             self._pending.append(metrics)  # device arrays; sync at log time
+            self.energy.epoch_end()
             real = reals[-1]
             self.log(i, fake, real)
             if i % cfg.steps_per_ckpt == 0 and i > 0:
@@ -243,6 +258,7 @@ class Trainer:
         # final log + checkpoint (reference trainer.py:172-175, 312)
         i = cfg.niters - 1
         self.profiler.close()
+        self.energy.write(self.log_dir)
         self.log_train(i, fake, real)
         self.log_interpolation(i)
         self.save_checkpoint(i)

@@ -23,6 +23,7 @@ from gan3d_tpu.data.loader import Loader
 from gan3d_tpu.eval import metrics as M
 from gan3d_tpu.eval.fid_resnet import get_fid_model
 from gan3d_tpu.eval.load import load_run, make_sampler
+from gan3d_tpu.parallel.mesh import make_mesh
 from gan3d_tpu.eval.slice_fid import SliceFID
 
 
@@ -34,6 +35,7 @@ def evaluate(params) -> None:
     sfid = SliceFID(weights_path=params.inception_checkpoint or None)
     os.makedirs(params.log_dir, exist_ok=True)
     key = jax.random.key(params.seed)
+    mesh = make_mesh(params.num_devices) if params.num_devices != 1 else None
 
     for model_path in params.model_log:
         print(model_path, flush=True)
@@ -42,7 +44,7 @@ def evaluate(params) -> None:
         for j in range(params.n_seeds):
             run = model_path + f"{j}"
             cfg, G, _, g_vars, _ = load_run(run)
-            sample = make_sampler(cfg, G, g_vars)
+            sample = make_sampler(cfg, G, g_vars, mesh)
             for i, data in enumerate(loader):
                 x1 = data[..., None]  # NDHWC
                 key, kz = jax.random.split(key)
@@ -78,6 +80,8 @@ def main(argv=None) -> None:
     parser.add_argument("--data_path", type=str, default="test_lidc_128.npz")
     parser.add_argument("--log_dir", type=str, default="log")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="data-parallel eval devices (0 = all)")
     parser.add_argument("--n_seeds", type=int, default=3,
                         help="run dirs per model: path+0..path+N-1")
     parser.add_argument("-l", "--model_log", action="append", type=str,

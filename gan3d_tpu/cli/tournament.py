@@ -22,6 +22,7 @@ import numpy as np
 from gan3d_tpu.data.datasets import open_dataset
 from gan3d_tpu.data.loader import Loader
 from gan3d_tpu.eval.load import load_run, make_discriminator_fn, make_sampler
+from gan3d_tpu.parallel.mesh import make_mesh
 
 
 def get_decision_bound(score, sample, z_size: int, loader, key,
@@ -56,11 +57,14 @@ def tournament(loader, params) -> Dict[str, float]:
     names = params.model_log
     res: Dict[str, List[float]] = {n: [] for n in names}
     key = jax.random.key(params.seed)
+    # Data-parallel evaluation mesh (BASELINE config 5: tournament at 128^3
+    # across a DP TPU mesh); num_devices=1 stays single-chip.
+    mesh = make_mesh(params.num_devices) if params.num_devices != 1 else None
     for name_d in names:
         for k in range(params.n_seeds):
             cfg_d, G_d, D_d, gv_d, dv_d = load_run(name_d + f"{k}")
-            score = make_discriminator_fn(cfg_d, D_d, dv_d)
-            sample_own = make_sampler(cfg_d, G_d, gv_d)
+            score = make_discriminator_fn(cfg_d, D_d, dv_d, mesh)
+            sample_own = make_sampler(cfg_d, G_d, gv_d, mesh)
             key, kb = jax.random.split(key)
             bound = get_decision_bound(score, sample_own, cfg_d.z_size,
                                        loader, kb,
@@ -70,7 +74,7 @@ def tournament(loader, params) -> Dict[str, float]:
                     continue
                 for m in range(params.n_seeds):
                     cfg_g, G_g, _, gv_g, _ = load_run(name_g + f"{m}")
-                    sample = make_sampler(cfg_g, G_g, gv_g)
+                    sample = make_sampler(cfg_g, G_g, gv_g, mesh)
                     key, kr = jax.random.split(key)
                     wr = play_round(score, sample, cfg_g.z_size, bound,
                                     params.batch_size, kr)
@@ -91,6 +95,8 @@ def main(argv=None) -> None:
     p.add_argument("--log_dir", type=str, default="log")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n_seeds", type=int, default=3)
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="data-parallel eval devices (0 = all)")
     p.add_argument("--compat_last_batch", action="store_true",
                    help="reproduce the reference's last-batch-only bound")
     p.add_argument("-l", "--model_log", action="append", type=str,

@@ -31,37 +31,74 @@ def _restore_raw(models_dir: str) -> Dict[str, Any]:
 
 def load_run(path: str, compute_dtype: Optional[str] = None
              ) -> Tuple[Config, Any, Any, Dict, Dict]:
-    """Returns (cfg, G, D, g_vars, d_vars) with weights restored."""
+    """Returns (cfg, G, D, g_vars, d_vars) with weights restored.
+
+    Accepts both our run dirs (params.json + Orbax checkpoint) and REFERENCE
+    run dirs (params.pkl + models/checkpoint.pt), converting torch weights
+    on the fly (gan3d_tpu.eval.convert)."""
     cfg = Config.load(path)
     if compute_dtype:
         cfg = cfg.replace(compute_dtype=compute_dtype)
+    ref_ckpt = os.path.join(path, "models", "checkpoint.pt")
+    try:
+        raw = _restore_raw(os.path.join(path, "models"))
+    except FileNotFoundError:
+        if os.path.isfile(ref_ckpt):
+            from gan3d_tpu.eval.convert import load_reference_run
+
+            return load_reference_run(path)
+        raise
     G, D = build_models(cfg)
-    raw = _restore_raw(os.path.join(path, "models"))
     g_vars = {"params": raw["g_params"], **(raw["g_state"] or {})}
     d_vars = {"params": raw["d_params"], **(raw["d_state"] or {})}
     return cfg, G, D, g_vars, d_vars
 
 
-def make_sampler(cfg: Config, G, g_vars):
-    """Jitted z -> volume sampler in eval-style forward (train-mode BN like
-    the reference, which never calls eval(); state updates discarded)."""
+def _shardings(mesh):
+    """(replicated, batch) NamedShardings for an optional eval mesh."""
+    if mesh is None:
+        return None, None
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    @jax.jit
-    def sample(z: jax.Array) -> jax.Array:
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+
+
+def make_sampler(cfg: Config, G, g_vars, mesh=None):
+    """Jitted z -> volume sampler in eval-style forward (train-mode BN like
+    the reference, which never calls eval(); state updates discarded).
+
+    With ``mesh``, generation is data-parallel: z sharded over the mesh's
+    `data` axis, weights replicated — the BASELINE config-5 setting
+    (tournament at 128^3 across a DP TPU mesh).
+    """
+    rngs_needed = cfg.family() in ("stylegan2", "stylegan")
+
+    def sample_impl(z: jax.Array) -> jax.Array:
         mut = [k for k in g_vars if k != "params"]
-        out = G.apply(g_vars, z, train=True, mutable=mut) if mut else (
-            G.apply(g_vars, z, train=True), None)
+        rngs = None
+        if rngs_needed:
+            stream = "noise" if cfg.family() == "stylegan2" else "mixing"
+            rngs = {stream: jax.random.key(0)}
+        out = G.apply(g_vars, z, train=True, mutable=mut, rngs=rngs) if mut \
+            else (G.apply(g_vars, z, train=True, rngs=rngs), None)
         fake = out[0]
         if isinstance(fake, tuple):  # stylegan2 returns (img, ws)
             fake = fake[0]
         return fake.astype(jnp.float32)
 
+    rep, batch = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(sample_impl)
+    jitted = jax.jit(sample_impl, in_shardings=batch, out_shardings=batch)
+
+    def sample(z):
+        return jitted(jax.device_put(jnp.asarray(z), batch))
+
     return sample
 
 
-def make_discriminator_fn(cfg: Config, D, d_vars):
-    @jax.jit
-    def score(x: jax.Array) -> jax.Array:
+def make_discriminator_fn(cfg: Config, D, d_vars, mesh=None):
+    def score_impl(x: jax.Array) -> jax.Array:
         mut = [k for k in d_vars if k != "params"]
         rngs = {"crops": jax.random.key(0)} if cfg.msl else None
         if mut:
@@ -69,5 +106,13 @@ def make_discriminator_fn(cfg: Config, D, d_vars):
         else:
             out = D.apply(d_vars, x, rngs=rngs)
         return out.astype(jnp.float32)
+
+    rep, batch = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(score_impl)
+    jitted = jax.jit(score_impl, in_shardings=batch, out_shardings=batch)
+
+    def score(x):
+        return jitted(jax.device_put(jnp.asarray(x), batch))
 
     return score

@@ -237,7 +237,6 @@ def convert_biggan_g(sd: Dict[str, np.ndarray], cfg: Config) -> Tree:
     n_stages = len(cfg.biggan_g_arch()["out_channels"])
     attn = cfg.biggan_g_arch()["attention"]
     res = cfg.biggan_g_arch()["resolution"]
-    at = 0
     for idx in range(n_stages):
         if cfg.biggan:
             t0, t1 = f"blocks.{2 * idx}.0", f"blocks.{2 * idx + 1}.0"
@@ -257,7 +256,6 @@ def convert_biggan_g(sd: Dict[str, np.ndarray], cfg: Config) -> Tree:
             params[f"attn{idx}"] = p
             if sp:
                 spectral[f"attn{idx}"] = sp
-            at += 1
 
     p, st = _bn(mods["output_layer.0"])
     params["out_bn"] = p

@@ -30,7 +30,7 @@ Reference: stylegan.py:6-99 (StyleGAN2Loss) driven by trainer.py:214-220 /
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -98,7 +98,7 @@ def build_stylegan_step(cfg: Config, G, D,
         return pen  # [N, W]
 
     def d_update(state: TrainState, real: jax.Array, key: jax.Array):
-        kG, kreal = jax.random.split(key)
+        kG, _ = jax.random.split(key)
         z = jax.random.normal(jax.random.fold_in(key, 7),
                               (real.shape[0], cfg.z_size), jnp.float32)
         gen_img, _ = run_G(state.g_params, state.g_state, z, kG)

@@ -16,7 +16,7 @@ Faithful training-dynamics details (SURVEY §7 hard part 7):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

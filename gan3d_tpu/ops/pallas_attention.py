@@ -106,7 +106,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
 def _bwd(q, k, v, do):
     n, L, c = q.shape
     m = k.shape[1]
-    bq = min(BLOCK_Q, L)
+    # The backward keeps three [bq, m] fp32 tiles (p, dp, ds) in VMEM;
+    # shrink bq for large key sets to stay under the ~16 MB scoped limit.
+    bq = min(BLOCK_Q if m < 2048 else BLOCK_Q // 2, L)
     grid = (n, L // bq)
     qspec = pl.BlockSpec((1, bq, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)

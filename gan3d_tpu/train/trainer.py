@@ -80,11 +80,13 @@ class Trainer:
             g_rngs["noise"] = jax.random.fold_in(kg, 1)
         elif self.family == "stylegan":
             g_rngs["mixing"] = jax.random.fold_in(kg, 2)
-        g_vars = self.G.init(g_rngs, z0)
         d_rngs = {"params": kd}
         if cfg.msl:
             d_rngs["crops"] = jax.random.fold_in(kd, 1)
-        d_vars = self.D.init(d_rngs, x0)
+        # jit the inits: eager init dispatches hundreds of tiny device ops
+        # (minutes over a TPU tunnel); jitted it is one program.
+        g_vars = jax.jit(self.G.init)(g_rngs, z0)
+        d_vars = jax.jit(self.D.init)(d_rngs, x0)
 
         g_params = g_vars["params"]
         g_state = {k: v for k, v in g_vars.items() if k != "params"}

@@ -106,9 +106,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
 def _bwd(q, k, v, do):
     n, L, c = q.shape
     m = k.shape[1]
-    # The backward keeps three [bq, m] fp32 tiles (p, dp, ds) in VMEM;
-    # shrink bq for large key sets to stay under the ~16 MB scoped limit.
-    bq = min(BLOCK_Q if m < 2048 else BLOCK_Q // 2, L)
+    # The backward keeps three [bq, m] fp32 tiles (p, dp, ds) plus matmul
+    # scratch in VMEM; shrink bq for large key sets to stay under the
+    # ~16 MB scoped limit (with Pallas double-buffering overhead).
+    if m >= 4096:
+        bq = 64
+    elif m >= 2048:
+        bq = 128
+    else:
+        bq = BLOCK_Q
+    bq = min(bq, L)
     grid = (n, L // bq)
     qspec = pl.BlockSpec((1, bq, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)

@@ -44,13 +44,12 @@ def _d_rngs(cfg: Config, key: jax.Array) -> Optional[Dict[str, jax.Array]]:
     return {"crops": key} if cfg.msl else None
 
 
-def build_train_step(cfg: Config, G, D,
-                     g_tx: optax.GradientTransformation,
-                     d_tx: optax.GradientTransformation
-                     ) -> Callable[[TrainState, jax.Array, jax.Array],
-                                   Tuple[TrainState, Dict[str, jax.Array],
-                                         jax.Array]]:
-    """Returns step_fn(state, reals [iterD, B, R, R, R, 1], base_key)."""
+def _make_phase_fns(cfg: Config, G, D,
+                    g_tx: optax.GradientTransformation,
+                    d_tx: optax.GradientTransformation):
+    """Shared D-update and G-phase closures used by both the fused step and
+    the split (two-program) step — identical key-folding math, so the two
+    modes are numerically identical."""
     hinge = cfg.hinge
     gp_weight = getattr(cfg, "gp_weight", 0.0)
 
@@ -94,15 +93,9 @@ def build_train_step(cfg: Config, G, D,
                               d_state=d_state, d_opt=d_opt)
         return state, (err_real, err_fake)
 
-    def step_fn(state: TrainState, reals: jax.Array, base_key: jax.Array):
-        key = fold_step(base_key, state.step)
-        d_metrics = (jnp.float32(0), jnp.float32(0))
-        for i in range(cfg.iterD):  # static unroll (iterD is small)
-            state, d_metrics = d_update(state, reals[i],
-                                        jax.random.fold_in(key, i))
-        # G phase.
-        kg = jax.random.fold_in(key, 1000)
-        kz, kcrop = jax.random.split(kg)
+    def g_phase(state: TrainState, key: jax.Array):
+        """One G update; increments the step counter."""
+        kz, kcrop = jax.random.split(key)
         noise = jax.random.normal(kz, (cfg.batch_size, cfg.z_size), jnp.float32)
 
         def loss_fn(g_params):
@@ -121,8 +114,54 @@ def build_train_step(cfg: Config, G, D,
         new_state = state.replace(step=state.step + 1, g_params=g_params,
                                   g_state=g_state, d_state=d_state,
                                   g_opt=g_opt)
+        return new_state, err_g, jax.lax.stop_gradient(fake)
+
+    return d_update, g_phase
+
+
+def build_train_step(cfg: Config, G, D,
+                     g_tx: optax.GradientTransformation,
+                     d_tx: optax.GradientTransformation
+                     ) -> Callable[[TrainState, jax.Array, jax.Array],
+                                   Tuple[TrainState, Dict[str, jax.Array],
+                                         jax.Array]]:
+    """Fused step: step_fn(state, reals [iterD, B, R, R, R, 1], base_key)."""
+    d_update, g_phase = _make_phase_fns(cfg, G, D, g_tx, d_tx)
+
+    def step_fn(state: TrainState, reals: jax.Array, base_key: jax.Array):
+        key = fold_step(base_key, state.step)
+        d_metrics = (jnp.float32(0), jnp.float32(0))
+        for i in range(cfg.iterD):  # static unroll (iterD is small)
+            state, d_metrics = d_update(state, reals[i],
+                                        jax.random.fold_in(key, i))
+        state, err_g, fake = g_phase(state, jax.random.fold_in(key, 1000))
         metrics = {"d_real": d_metrics[0], "d_fake": d_metrics[1],
                    "g_loss": err_g}
-        return new_state, metrics, jax.lax.stop_gradient(fake)
+        return state, metrics, fake
 
     return step_fn
+
+
+def build_split_steps(cfg: Config, G, D,
+                      g_tx: optax.GradientTransformation,
+                      d_tx: optax.GradientTransformation):
+    """Two smaller programs instead of one fused step (cfg.fused_step=False):
+    d_step(state, real [B,...], base_key, i) and g_step(state, base_key).
+    Key folding matches the fused step exactly, so results are identical;
+    useful when a single fused program overloads the XLA compiler (e.g.
+    128^3 with per-block rematerialization)."""
+    d_update, g_phase = _make_phase_fns(cfg, G, D, g_tx, d_tx)
+
+    def d_step(state: TrainState, real: jax.Array, base_key: jax.Array,
+               i: jax.Array):
+        key = fold_step(base_key, state.step)
+        state, (err_real, err_fake) = d_update(state, real,
+                                               jax.random.fold_in(key, i))
+        return state, {"d_real": err_real, "d_fake": err_fake}
+
+    def g_step(state: TrainState, base_key: jax.Array):
+        key = fold_step(base_key, state.step)
+        state, err_g, fake = g_phase(state, jax.random.fold_in(key, 1000))
+        return state, {"g_loss": err_g}, fake
+
+    return d_step, g_step

@@ -120,12 +120,38 @@ class Trainer:
 
             step_fn = build_stylegan_step(cfg, self.G, self.D, self.g_tx,
                                           self.d_tx)
-        else:
+            self._step = jax.jit(step_fn, in_shardings=(rep, batch_in, rep),
+                                 out_shardings=(rep, rep, batch_out),
+                                 donate_argnums=(0,))
+        elif cfg.fused_step:
             step_fn = build_train_step(cfg, self.G, self.D, self.g_tx,
                                        self.d_tx)
-        self._step = jax.jit(step_fn, in_shardings=(rep, batch_in, rep),
-                             out_shardings=(rep, rep, batch_out),
-                             donate_argnums=(0,))
+            self._step = jax.jit(step_fn, in_shardings=(rep, batch_in, rep),
+                                 out_shardings=(rep, rep, batch_out),
+                                 donate_argnums=(0,))
+        else:
+            # Split mode: two smaller XLA programs (numerically identical to
+            # the fused step) — for configs whose fused HLO overloads the
+            # compiler (e.g. 128^3 + remat).
+            from gan3d_tpu.train.step import build_split_steps
+
+            d_fn, g_fn = build_split_steps(cfg, self.G, self.D, self.g_tx,
+                                           self.d_tx)
+            d_jit = jax.jit(d_fn, in_shardings=(rep, batch_out, rep, rep),
+                            out_shardings=(rep, rep), donate_argnums=(0,))
+            g_jit = jax.jit(g_fn, in_shardings=(rep, rep),
+                            out_shardings=(rep, rep, batch_out),
+                            donate_argnums=(0,))
+
+            def split_step(state, reals, base_key):
+                d_metrics = {}
+                for i in range(cfg.iterD):
+                    state, d_metrics = d_jit(state, reals[i], base_key,
+                                             jnp.int32(i))
+                state, g_metrics, fake = g_jit(state, base_key)
+                return state, {**d_metrics, **g_metrics}, fake
+
+            self._step = split_step
 
         sample_key = jax.random.fold_in(self._base_key, 0xA5)
 

@@ -88,3 +88,20 @@ def test_determinism_same_seed(dataset, tmp_path):
     tb = Trainer(dataset, cfg_b)
     tb.train()
     np.testing.assert_allclose(ta.G_losses, tb.G_losses, rtol=1e-5)
+
+
+def test_split_step_matches_fused(dataset, tmp_path):
+    """cfg.fused_step=False (two XLA programs) is numerically identical to
+    the fused step — same key-folding math."""
+    base = dict(resolution=16, z_size=16, filterG=8, filterD=8, batch_size=4,
+                niters=2, iterD=2, steps_per_log=10, steps_per_img_log=10,
+                steps_per_ckpt=10, compute_dtype="float32",
+                data_loader_workers=1, num_devices=1, dcgan=True)
+    ta = Trainer(dataset, Config(log_dir=str(tmp_path / "f"),
+                                 fused_step=True, **base))
+    ta.train()
+    tb = Trainer(dataset, Config(log_dir=str(tmp_path / "s"),
+                                 fused_step=False, **base))
+    tb.train()
+    np.testing.assert_allclose(ta.G_losses, tb.G_losses, rtol=1e-5)
+    np.testing.assert_allclose(ta.D_losses, tb.D_losses, rtol=1e-5)

@@ -97,15 +97,21 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
         batch_in)
     base_key = jax.random.key(1)
 
+    def sync(m):
+        # device_get forces a real device->host readback; on the experimental
+        # axon tunnel block_until_ready alone returns before execution
+        # finishes, inflating throughput ~10x.
+        return float(jax.device_get(m["g_loss"]))
+
     t = time.perf_counter()
     for _ in range(warmup):
         state, metrics, _ = step(state, reals, base_key)
-    jax.block_until_ready(metrics)
+    sync(metrics)
     print(f"# compile+warmup {time.perf_counter() - t:.1f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics, _ = step(state, reals, base_key)
-    jax.block_until_ready(metrics)
+    sync(metrics)
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 

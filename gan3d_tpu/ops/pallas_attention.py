@@ -106,13 +106,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
 def _bwd(q, k, v, do):
     n, L, c = q.shape
     m = k.shape[1]
-    # The backward keeps three [bq, m] fp32 tiles (p, dp, ds) plus matmul
-    # scratch in VMEM; shrink bq for large key sets to stay under the
-    # ~16 MB scoped limit (with Pallas double-buffering overhead).
+    # The backward keeps three [bq, m] fp32 tiles (p, dp, ds) plus
+    # c-dependent matmul scratch in VMEM; shrink bq to stay under the ~16 MB
+    # scoped limit. Empirical fit points: (m=4096, c=16, bq=256) OK;
+    # (m=4096, c=32, bq=128) over by 0.15 MB -> use 64.
     if m >= 4096:
-        bq = 64
+        bq = 128 if c <= 16 else 64
     elif m >= 2048:
-        bq = 128
+        bq = 256 if c <= 32 else 128
     else:
         bq = BLOCK_Q
     bq = min(bq, L)

@@ -107,3 +107,26 @@ def test_slice_fid_with_inception_extractor():
     b = rng.normal(size=(4, 8, 8, 8, 1)).astype(np.float32)
     fa, fc, fs = sfid(a, b)
     assert all(np.isfinite([fa, fc, fs]))
+
+
+def test_inloop_fid_with_random_features(tmp_path, capsys):
+    """cfg.fid_in_loop wires the in-loop axial slice FID (random-feature
+    stand-in without Inception weights) — numbers become finite."""
+    from gan3d_tpu.config import Config
+    from gan3d_tpu.data.datasets import NpzDataset
+    from gan3d_tpu.train import Trainer
+
+    x = np.random.default_rng(0).normal(
+        size=(8, 16, 16, 16)).astype(np.float32).clip(-1, 1)
+    p = str(tmp_path / "d.npz")
+    np.savez(p, X=x)
+    cfg = Config(dcgan=True, resolution=16, z_size=16, filterG=8, filterD=8,
+                 batch_size=4, niters=2, iterD=1, num_devices=1,
+                 steps_per_log=1, steps_per_img_log=5, steps_per_ckpt=5,
+                 log_dir=str(tmp_path / "log"), compute_dtype="float32",
+                 data_loader_workers=1, fid_in_loop=True)
+    t = Trainer(NpzDataset(p), cfg)
+    t.train()
+    out = capsys.readouterr().out
+    assert "FID nan" not in out
+    assert t.fid and np.isfinite(t.fid[-1])

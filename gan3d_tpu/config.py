@@ -81,6 +81,10 @@ class Config:
     track_energy: bool = False   # energy/CO2e estimate -> log_dir/energy.json
                                  # (reference wires carbontracker but keeps it
                                  # commented out — trainer.py:6, 93)
+    channel_ratio: int = 4       # BigGAN-deep bottleneck shrink factor
+                                 # (reference utils.py:48 fixes 4); smaller =
+                                 # wider hidden convs = far better MXU
+                                 # utilization on TPU (docs/PERF.md)
     # ---- multi-host (DCN) — no reference equivalent (SURVEY §2.2) ----
     distributed: bool = False    # call jax.distributed.initialize at startup
     coordinator_address: str = ""  # host:port of process 0 ("" = env/auto)

@@ -68,7 +68,8 @@ class Generator(nn.Module):
             else GBlockDeep
         block_kw = dict(plain=plain, dtype=dtype, param_dtype=jnp.float32,
                         bn_axis_name=self.bn_axis_name,
-                        bn_groups=self.bn_groups)
+                        bn_groups=self.bn_groups,
+                        channel_ratio=cfg.channel_ratio)
         for idx in range(len(arch["out_channels"])):
             cin, cout = arch["in_channels"][idx], arch["out_channels"][idx]
             if cfg.biggan:
@@ -119,7 +120,8 @@ class Discriminator(nn.Module):
 
         DB = nn.remat(DBlockDeep, static_argnums=(2,)) if cfg.remat \
             else DBlockDeep
-        kw = dict(dtype=dtype, param_dtype=jnp.float32)
+        kw = dict(dtype=dtype, param_dtype=jnp.float32,
+                  channel_ratio=cfg.channel_ratio)
         for idx in range(len(arch["out_channels"])):
             cin, cout = arch["in_channels"][idx], arch["out_channels"][idx]
             down = arch["downsample"][idx]

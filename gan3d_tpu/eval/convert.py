@@ -331,6 +331,12 @@ def convert_checkpoint(ckpt_path: str, cfg: Config) -> Tuple[Tree, Tree]:
         return convert_biggan_g(g_sd, cfg), convert_dcgan_d(d_sd, cfg)
     if fam == "biggan":
         return convert_biggan_g(g_sd, cfg), convert_biggan_d(d_sd, cfg)
+    if fam == "stylegan2":
+        return (convert_stylegan2_g(g_sd, cfg),
+                convert_stylegan_d(d_sd, cfg))
+    if fam == "stylegan":
+        return (convert_stylegan1_g(g_sd, cfg),
+                convert_stylegan_d(d_sd, cfg))
     raise NotImplementedError(
         f"reference-checkpoint conversion for family '{fam}' not implemented")
 
@@ -345,3 +351,122 @@ def load_reference_run(path: str):
     g_vars, d_vars = convert_checkpoint(
         os.path.join(path, "models", "checkpoint.pt"), cfg)
     return cfg, G, D, g_vars, d_vars
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN family
+# ---------------------------------------------------------------------------
+def _fc(m: Dict[str, np.ndarray], key: str = "weight") -> Tree:
+    """torch Linear weight [O,I] -> [I,O]; `key` is the flax param name
+    ("weight" for FullyConnectedLayer, "kernel" for flax Dense)."""
+    out: Tree = {key: jnp.asarray(_np(m["weight"]).T)}
+    if "bias" in m:
+        out["bias"] = jnp.asarray(_np(m["bias"]))
+    return out
+
+
+def _style_conv_weight(m: Dict[str, np.ndarray]) -> Tree:
+    """SynthesisLayer/Conv3dLayer raw weight [O,I,k,k,k] -> [k,k,k,I,O]."""
+    out: Tree = {"weight": jnp.asarray(
+        _np(m["weight"]).transpose(2, 3, 4, 1, 0))}
+    if "bias" in m:
+        out["bias"] = jnp.asarray(_np(m["bias"]))
+    return out
+
+
+def convert_stylegan2_g(sd: Dict[str, np.ndarray], cfg: Config) -> Tree:
+    """StyleGAN2 Generator (reference stylegan.py:697-718): mapping fc0..7 +
+    w_avg buffer; synthesis blocks b4..bR with const / conv0 / conv1 / torgb
+    (affine + modulated weight + bias + noise_strength). The reference's 2-D
+    noise_const buffers are skipped (ours are proper 3-D volumes, quirk
+    documented in models/stylegan/layers.py)."""
+    mods = group_modules(strip_module_prefix(sd))
+    params: Tree = {"mapping": {}, "synthesis": {}}
+    moving: Tree = {"mapping": {}}
+
+    for name, m in mods.items():
+        if not name:
+            continue
+        parts = name.split(".")
+        if parts[0] == "mapping" and len(parts) == 2 and parts[1].startswith("fc"):
+            params["mapping"][parts[1]] = _fc(m)
+    if "mapping" in mods and "w_avg" in mods["mapping"]:
+        moving["mapping"]["w_avg"] = jnp.asarray(_np(mods["mapping"]["w_avg"]))
+    else:
+        moving["mapping"]["w_avg"] = jnp.zeros((512,), jnp.float32)
+
+    import re as _re
+
+    for name, m in mods.items():
+        bm = _re.match(r"synthesis\.(b\d+)$", name)
+        if bm and "const" in m:
+            params["synthesis"].setdefault(bm.group(1), {})["const"] = \
+                jnp.asarray(_np(m["const"]).transpose(1, 2, 3, 0))
+        lm = _re.match(r"synthesis\.(b\d+)\.(conv0|conv1|torgb)$", name)
+        if lm:
+            blk = params["synthesis"].setdefault(lm.group(1), {})
+            layer = _style_conv_weight(m)
+            if "noise_strength" in m:
+                layer["noise_strength"] = jnp.asarray(
+                    _np(m["noise_strength"]))
+            blk[lm.group(2)] = layer
+        am = _re.match(r"synthesis\.(b\d+)\.(conv0|conv1|torgb)\.affine$",
+                       name)
+        if am:
+            blk = params["synthesis"].setdefault(am.group(1), {})
+            blk.setdefault(am.group(2), {})["affine"] = _fc(m)
+    return {"params": params, "moving": moving}
+
+
+def convert_stylegan_d(sd: Dict[str, np.ndarray], cfg: Config) -> Tree:
+    """StyleGAN Discriminator (reference stylegan.py:883-928): resnet blocks
+    b{res} (fromrgb on the first, conv0, conv1 down, skip) + epilogue b4
+    (conv, fc over the flattened 4^3 volume, out). The epilogue fc's input
+    order converts from torch's NCDHW flatten to our NDHWC flatten."""
+    mods = group_modules(strip_module_prefix(sd))
+    params: Tree = {}
+    import re as _re
+
+    for name, m in mods.items():
+        bm = _re.match(r"(b\d+)\.(fromrgb|conv0|conv1|skip|conv)$", name)
+        if bm:
+            params.setdefault(bm.group(1), {})[bm.group(2)] = \
+                _style_conv_weight(m)
+        fm = _re.match(r"(b\d+)\.(fc|out)$", name)
+        if fm:
+            w = _np(m["weight"])  # [O, in]
+            if fm.group(2) == "fc":
+                o, flat = w.shape
+                c = flat // 64
+                w = w.reshape(o, c, 4, 4, 4).transpose(0, 2, 3, 4, 1)
+                w = w.reshape(o, flat)
+            layer: Tree = {"weight": jnp.asarray(w.T)}
+            if "bias" in m:
+                layer["bias"] = jnp.asarray(_np(m["bias"]))
+            params.setdefault(fm.group(1), {})[fm.group(2)] = layer
+    return {"params": params}
+
+
+def convert_stylegan1_g(sd: Dict[str, np.ndarray], cfg: Config) -> Tree:
+    """StyleGAN-1 generator (reference stylegan.py:969-1148): latentMapping
+    Sequential of Linears at even indices -> map0..7; C{i}.0 convs; A{i}
+    affines; C_out.0."""
+    mods = group_modules(strip_module_prefix(sd))
+    params: Tree = {}
+    import re as _re
+
+    for name, m in mods.items():
+        lm = _re.match(r"latentMapping\.(\d+)$", name)
+        if lm:
+            params[f"map{int(lm.group(1)) // 2}"] = _fc(m, key="kernel")
+            continue
+        cm = _re.match(r"C(\d+|_out)\.0$", name)
+        if cm:
+            cname = "C_out" if cm.group(1) == "_out" else f"C{cm.group(1)}"
+            params[cname] = {"kernel": jnp.asarray(
+                _np(m["weight"]).transpose(2, 3, 4, 1, 0))}
+            continue
+        am = _re.match(r"A(\d+)$", name)
+        if am:
+            params[name] = _fc(m, key="kernel")
+    return {"params": params}

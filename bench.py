@@ -42,7 +42,8 @@ def _enable_compile_cache() -> None:
 
 
 def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
-            filters: int = 64, remat: bool = False) -> float:
+            filters: int = 64, remat: bool = False,
+            channel_ratio: int = 4) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -56,7 +57,8 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
 
     cfg = Config(biggan=True, hinge=True, resolution=resolution,
                  filterG=filters, filterD=filters, z_size=512,
-                 batch_size=batch_size, iterD=2, remat=remat)
+                 batch_size=batch_size, iterD=2, remat=remat,
+                 channel_ratio=channel_ratio)
     mesh = make_mesh(1)
     G, D = build_models(cfg)
     key = jax.random.key(0)
@@ -122,6 +124,9 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=0, help="0 = auto")
     p.add_argument("--resolution", type=int, default=64)
     p.add_argument("--filters", type=int, default=64)
+    p.add_argument("--channel_ratio", type=int, default=4,
+                   help="bottleneck shrink (4 = reference; smaller = wider "
+                        "hidden convs, better MXU utilization)")
     a = p.parse_args()
     _enable_compile_cache()
     iters = 5 if a.quick else 20
@@ -134,7 +139,8 @@ def main() -> None:
     vps, used = None, None
     for b, remat in candidates:
         try:
-            vps = measure(b, iters, warmup, a.resolution, a.filters, remat)
+            vps = measure(b, iters, warmup, a.resolution, a.filters, remat,
+                          a.channel_ratio)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback

@@ -105,3 +105,23 @@ def test_split_step_matches_fused(dataset, tmp_path):
     tb.train()
     np.testing.assert_allclose(ta.G_losses, tb.G_losses, rtol=1e-5)
     np.testing.assert_allclose(ta.D_losses, tb.D_losses, rtol=1e-5)
+
+
+def test_msl_training(dataset, tmp_path):
+    """MSL discriminator (RandomCrop3D front-end) trains — exercises the
+    crops rng stream through the fused step."""
+    cfg = small_cfg(tmp_path, dcgan=True, msl=True, niters=2,
+                    log_dir=str(tmp_path / "msl"))
+    t = Trainer(dataset, cfg)
+    t.train()
+    assert np.isfinite(t.G_losses).all()
+
+
+def test_wgan_gp_training(dataset, tmp_path):
+    """Opt-in gradient penalty (reference keeps it commented out)."""
+    cfg = small_cfg(tmp_path, dcgan=True, niters=2, gp_weight=10.0,
+                    log_dir=str(tmp_path / "gp"))
+    t = Trainer(dataset, cfg)
+    t.train()
+    assert np.isfinite(t.G_losses).all()
+    assert np.isfinite(np.asarray(t.D_losses)).all()

@@ -126,3 +126,21 @@ def test_stylegan1_g_roundtrip():
     _trees_equal(gv, converted)
     out = G.apply(converted, jnp.zeros((2, 512)), rngs={"mixing": key})
     assert out.shape == (2, 16, 16, 16, 1)
+
+
+def test_epilogue_fc_permutation_vs_torch_order():
+    """The epilogue fc conversion must map torch's NCDHW flatten to our
+    NDHWC flatten: verify numerically against a torch-order matmul."""
+    rng = np.random.default_rng(3)
+    N, C = 2, 6
+    x = rng.normal(size=(N, C, 4, 4, 4)).astype(np.float32)  # NCDHW
+    w_torch = rng.normal(size=(5, C * 64)).astype(np.float32)  # [O, c-major]
+    ref = x.reshape(N, -1) @ w_torch.T
+
+    sd = {"b4.fc.weight": w_torch, "b4.fc.bias": np.zeros(5, np.float32)}
+    cfg = Config(stylegan2=True, resolution=16, filterD=512)
+    conv = convert_stylegan_d(sd, cfg)
+    w_ours = np.asarray(conv["params"]["b4"]["fc"]["weight"])  # [in, O]
+    x_ndhwc = np.moveaxis(x, 1, -1)  # (N,4,4,4,C)
+    got = x_ndhwc.reshape(N, -1) @ w_ours
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)

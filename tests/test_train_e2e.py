@@ -125,3 +125,16 @@ def test_wgan_gp_training(dataset, tmp_path):
     t.train()
     assert np.isfinite(t.G_losses).all()
     assert np.isfinite(np.asarray(t.D_losses)).all()
+
+
+def test_load_params_flag(dataset, tmp_path):
+    """--load_params restores the persisted config from the run dir
+    (reference trainer.py:42-47)."""
+    cfg = small_cfg(tmp_path, dcgan=True, niters=2,
+                    log_dir=str(tmp_path / "lp"))
+    Trainer(dataset, cfg).train()
+    # different flags on the command line, load_params wins
+    cfg2 = small_cfg(tmp_path, biggan=True, niters=2, filterG=99,
+                     log_dir=str(tmp_path / "lp"), load_params=True)
+    t2 = Trainer(dataset, cfg2)
+    assert t2.cfg.dcgan and not t2.cfg.biggan and t2.cfg.filterG == 8

@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 # Provisional A100 baseline for torch eager BigGAN-Deep-3D 64^3 batch 16,
@@ -72,7 +73,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
     dv = jax.jit(D.init)({"params": key},
                          jnp.zeros(fshape.shape, jnp.float32))
     jax.block_until_ready((gv, dv))
-    print(f"# init {time.perf_counter() - t:.1f}s", flush=True)
+    print(f"# init {time.perf_counter() - t:.1f}s", file=sys.stderr, flush=True)
     g_tx = make_optimizer(cfg.lrG, cfg.adam_b1, cfg.adam_b2)
     d_tx = make_optimizer(cfg.lrD, cfg.adam_b1, cfg.adam_b2)
     state = TrainState(
@@ -109,7 +110,8 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
     for _ in range(warmup):
         state, metrics, _ = step(state, reals, base_key)
     sync(metrics)
-    print(f"# compile+warmup {time.perf_counter() - t:.1f}s", flush=True)
+    print(f"# compile+warmup {time.perf_counter() - t:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics, _ = step(state, reals, base_key)
@@ -146,7 +148,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — OOM fallback
             msg = str(e).split("\n")[0][:200]
             print(f"# batch {b} remat={remat} failed ({type(e).__name__}: "
-                  f"{msg}); retrying", flush=True)
+                  f"{msg}); retrying", file=sys.stderr, flush=True)
     if vps is None:
         raise SystemExit("benchmark failed at all batch sizes")
 

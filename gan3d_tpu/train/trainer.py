@@ -59,6 +59,11 @@ class Trainer:
         self.cfg = cfg
         self.family = cfg.family()
 
+        if cfg.resolution >= 128 and not cfg.remat:
+            print("hint: at 128^3+, --remat=True --fused_step=False is "
+                  "usually required to fit HBM / the compiler "
+                  "(docs/PERF.md)", flush=True)
+
         # --- mesh + models ---
         self.mesh = make_mesh(cfg.num_devices)
         ndev = len(self.mesh.devices.ravel())

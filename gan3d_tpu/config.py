@@ -64,7 +64,16 @@ class Config:
     param_dtype: str = "float32"
     remat: bool = False         # jax.checkpoint per block (memory at 128^3)
     steps_per_ckpt: int = 100   # reference checkpoints every 100 steps
-    fid_in_loop: bool = False   # in-loop slice FID (needs Inception weights)
+    fid_in_loop: Optional[bool] = None  # in-loop axial slice FID every
+                                # steps_per_log (reference trainer.py:100-110
+                                # computes it unconditionally). None = auto:
+                                # on when Inception weights are found (see
+                                # inception_weights), warn-and-nan otherwise;
+                                # True = force (random-feature stand-in if no
+                                # weights); False = off.
+    inception_weights: str = ""  # path to the pt_inception-2015-12-05 torch
+                                 # weights for slice FID; "" = search cwd +
+                                 # log_dir for the standard filename
     fused_step: bool = True     # single jitted step: iterD D-updates + 1 G-update
     adam_b1: float = 0.0        # reference: trainer.py:77-78 betas=(0., 0.9)
     adam_b2: float = 0.9
@@ -219,9 +228,17 @@ def add_config_flags(parser) -> None:
     def parse_bool(v: str) -> bool:
         return str(v).strip().lower() in ("1", "true", "yes", "y", "t")
 
+    def parse_opt_bool(v: str) -> Optional[bool]:
+        if str(v).strip().lower() in ("none", "auto", ""):
+            return None
+        return parse_bool(v)
+
     for f in dataclasses.fields(Config):
         arg = f"--{f.name}"
-        if f.type in ("bool", bool):
+        if "Optional[bool]" in str(f.type):
+            parser.add_argument(arg, type=parse_opt_bool, default=f.default,
+                                nargs="?", const=True)
+        elif f.type in ("bool", bool):
             parser.add_argument(arg, type=parse_bool, default=f.default, nargs="?",
                                 const=True)
         else:

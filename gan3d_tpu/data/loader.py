@@ -39,6 +39,7 @@ class Loader:
         self.rng = np.random.default_rng(seed)
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self._stops: list = []  # stop events of live infinite() producers
 
     def _epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -66,10 +67,26 @@ class Loader:
         """Infinite shuffled batches with background prefetch.
 
         Equivalent of the reference's inf_train_gen (trainer.py:95-98), with
-        an explicit prefetch queue instead of worker processes.
+        an explicit prefetch queue instead of worker processes. The producer
+        thread exits promptly once the consumer stops (generator .close(),
+        GC, or Loader.close()): every blocking queue operation is bounded by
+        a timeout + stop-flag check, so no thread or queue is leaked when a
+        Trainer is constructed repeatedly in one process.
         """
         q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        self._stops = [s for s in self._stops if not s.is_set()]
+        self._stops.append(stop)
+
+        def _put(item) -> bool:
+            """Bounded put: returns False if stopped while waiting."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
@@ -81,9 +98,8 @@ class Loader:
                         for i in range(0, len(idx), self.batch_size)
                     ]
                     for fut in [pool.submit(self.dataset.batch, b) for b in batches]:
-                        if stop.is_set():
+                        if not _put(fut.result()):
                             return
-                        q.put(fut.result())
             finally:
                 pool.shutdown(wait=False)
 
@@ -91,6 +107,18 @@ class Loader:
         t.start()
         try:
             while True:
-                yield q.get()
+                try:
+                    item = q.get(timeout=5.0)
+                except queue.Empty:
+                    if not t.is_alive():
+                        raise RuntimeError("Loader producer thread died")
+                    continue
+                yield item
         finally:
             stop.set()
+
+    def close(self) -> None:
+        """Stop all producer threads started by infinite()."""
+        for s in self._stops:
+            s.set()
+        self._stops.clear()

@@ -20,7 +20,9 @@ Reference: stylegan.py:6-99 (StyleGAN2Loss) driven by trainer.py:214-220 /
   `real_logits*0` / `gen_img[...]*0` terms exist to keep backward() legal).
   Default behavior replicates this (penalties are stop_gradient'ed into the
   metrics); set cfg.sg2_reg_grads=True for NVIDIA-original regularization
-  that actually regularizes;
+  that actually regularizes — R1 contributes D-param grads and PL
+  contributes G-param grads (second-order, grad-of-grad through the
+  synthesis network, the JAX equivalent of create_graph=True);
 - after each G step the EMA fold-back: ema = params = (params + ema)/2
   (trainer.py:199-206; generalized by cfg.ema_decay, 0.5 = reference);
 - the stylegan(-1) family uses the same loss with R1 every step
@@ -53,9 +55,11 @@ def _softplus(x):
     return jax.nn.softplus(x.astype(jnp.float32))
 
 
-def build_stylegan_step(cfg: Config, G, D,
-                        g_tx: optax.GradientTransformation,
-                        d_tx: optax.GradientTransformation):
+def _build_updates(cfg: Config, G, D,
+                   g_tx: optax.GradientTransformation,
+                   d_tx: optax.GradientTransformation,
+                   static_r1, static_pl):
+    """Shared d_update/g_update closures for the fused and split builders."""
     is_v2 = cfg.stylegan2
     reg_grads = getattr(cfg, "sg2_reg_grads", False)
 
@@ -97,15 +101,15 @@ def build_stylegan_step(cfg: Config, G, D,
         pen = jnp.sum(jnp.square(g32), axis=(4, 1, 2)) * (R1_GAMMA / 2)
         return pen  # [N, W]
 
+    # v1 runs R1 every step (reference stylegan.py:41); v2 lazily.
+    r1_mode = True if not is_v2 else static_r1  # None = dynamic cond
+
     def d_update(state: TrainState, real: jax.Array, key: jax.Array):
         kG, _ = jax.random.split(key)
         z = jax.random.normal(jax.random.fold_in(key, 7),
                               (real.shape[0], cfg.z_size), jnp.float32)
         gen_img, _ = run_G(state.g_params, state.g_state, z, kG)
         gen_img = jax.lax.stop_gradient(gen_img).astype(real.dtype)
-
-        do_r1 = jnp.logical_or(state.step % LAZY_INTERVAL == 0,
-                               jnp.bool_(not is_v2))
 
         def loss_fn(d_params):
             gen_logits = d_apply(d_params, gen_img)
@@ -123,7 +127,13 @@ def build_stylegan_step(cfg: Config, G, D,
             def without_r1():
                 return loss_dreal
 
-            err_real = jax.lax.cond(do_r1, with_r1, without_r1)
+            if r1_mode is None:
+                do_r1 = state.step % LAZY_INTERVAL == 0
+                err_real = jax.lax.cond(do_r1, with_r1, without_r1)
+            elif r1_mode:
+                err_real = with_r1()
+            else:
+                err_real = without_r1()
             return loss_dgen + err_real, (err_real, loss_dgen)
 
         with scope("Dgen_Dreal_backward"):
@@ -134,62 +144,68 @@ def build_stylegan_step(cfg: Config, G, D,
         state = state.replace(d_params=d_params, d_opt=d_opt)
         return state, (err_real, err_fake)
 
+    pl_mode = False if not is_v2 else static_pl  # None = dynamic cond
+
     def g_update(state: TrainState, key: jax.Array):
         kG, kpl = jax.random.split(key)
         z = jax.random.normal(jax.random.fold_in(key, 13),
                               (cfg.batch_size, cfg.z_size), jnp.float32)
 
+        def pl_branch(g_params, pl_mean):
+            """PL penalty; differentiable wrt g_params (through the inner
+            VJP — grad-of-grad) so reg_grads=True regularizes for real."""
+            bs = cfg.batch_size // PL_BATCH_SHRINK
+            zs = z[:bs]
+            variables = g_variables(g_params, state.g_state)
+            kmix, knoise, kn2 = jax.random.split(kpl, 3)
+            ws = G.apply(variables, zs, method=G.map_ws)
+
+            def synth(ws_):
+                return G.apply(variables, ws_, method=G.synthesize,
+                               rngs={"noise": knoise})
+
+            img = synth(ws)
+            d_, h_ = img.shape[1], img.shape[2]
+            pl_noise = jax.random.normal(kn2, img.shape, jnp.float32) \
+                / jnp.sqrt(jnp.float32(d_ * h_))
+
+            pl_grads = jax.grad(
+                lambda w_: jnp.sum(synth(w_).astype(jnp.float32)
+                                   * pl_noise))(ws)
+            lengths = jnp.sqrt(jnp.mean(
+                jnp.sum(jnp.square(pl_grads.astype(jnp.float32)),
+                        axis=2), axis=1))
+            new_mean = pl_mean + PL_DECAY * (jnp.mean(lengths) - pl_mean)
+            pen = jnp.mean(jnp.square(lengths - new_mean)) * PL_WEIGHT
+            return pen, new_mean
+
+        def no_pl(g_params, pl_mean):
+            del g_params
+            return jnp.float32(0), pl_mean
+
         def loss_fn(g_params):
             img, _ = run_G(g_params, state.g_state, z, kG)
             gen_logits = d_apply(state.d_params, img)
-            return jnp.mean(_softplus(-gen_logits)), img
+            loss_gmain = jnp.mean(_softplus(-gen_logits))
+            if pl_mode is None:
+                do_pl = state.step % LAZY_INTERVAL == 0
+                pen, new_mean = jax.lax.cond(do_pl, pl_branch, no_pl,
+                                             g_params, state.pl_mean)
+            elif pl_mode:
+                pen, new_mean = pl_branch(g_params, state.pl_mean)
+            else:
+                pen, new_mean = no_pl(g_params, state.pl_mean)
+            if not reg_grads:
+                # create_graph=False faithfulness: value only, no grads.
+                pen = jax.lax.stop_gradient(pen)
+            return loss_gmain + pen, (img, new_mean)
 
         with scope("Gmain"):
-            (loss_gmain, fake), grads = jax.value_and_grad(
+            (err_g, (fake, new_pl_mean)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.g_params)
+        pl_mean = (jax.lax.stop_gradient(new_pl_mean)
+                   if state.pl_mean is not None else state.pl_mean)
 
-        # Path-length regularization value (+ optional grads) every 16.
-        pl_mean = state.pl_mean
-        loss_gpl = jnp.float32(0)
-        if is_v2:
-            do_pl = state.step % LAZY_INTERVAL == 0
-
-            def pl_branch(pl_mean):
-                bs = cfg.batch_size // PL_BATCH_SHRINK
-                zs = z[:bs]
-                variables = g_variables(state.g_params, state.g_state)
-                kmix, knoise, kn2 = jax.random.split(kpl, 3)
-                ws = G.apply(variables, zs, method=G.map_ws)
-
-                def synth(ws_):
-                    return G.apply(variables, ws_, method=G.synthesize,
-                                   rngs={"noise": knoise})
-
-                img = synth(ws)
-                d_, h_ = img.shape[1], img.shape[2]
-                pl_noise = jax.random.normal(kn2, img.shape, jnp.float32) \
-                    / jnp.sqrt(jnp.float32(d_ * h_))
-
-                pl_grads = jax.grad(
-                    lambda w_: jnp.sum(synth(w_).astype(jnp.float32)
-                                       * pl_noise))(ws)
-                lengths = jnp.sqrt(jnp.mean(
-                    jnp.sum(jnp.square(pl_grads.astype(jnp.float32)),
-                            axis=2), axis=1))
-                new_mean = pl_mean + PL_DECAY * (jnp.mean(lengths) - pl_mean)
-                pen = jnp.mean(jnp.square(lengths - new_mean)) * PL_WEIGHT
-                return pen, new_mean
-
-            def no_pl(pl_mean):
-                return jnp.float32(0), pl_mean
-
-            loss_gpl, pl_mean = jax.lax.cond(do_pl, pl_branch, no_pl, pl_mean)
-            # create_graph=False faithfulness: value only, no grads (the
-            # grads path for reg_grads=True would require folding pl into
-            # loss_fn; as the reference never propagates it, we keep the
-            # faithful behavior and expose proper PL grads as future work).
-
-        err_g = loss_gmain + loss_gpl
         updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
 
@@ -205,6 +221,35 @@ def build_stylegan_step(cfg: Config, G, D,
                               ema_params=ema_params, pl_mean=pl_mean)
         return state, err_g, fake
 
+    return d_update, g_update
+
+
+def build_stylegan_step(cfg: Config, G, D,
+                        g_tx: optax.GradientTransformation,
+                        d_tx: optax.GradientTransformation,
+                        *, static_r1=None, static_pl=None):
+    """Build the fused stylegan train step.
+
+    ``static_r1`` / ``static_pl`` control how the lazy regularizer branches
+    are compiled:
+
+    - ``None`` (default): dynamic ``lax.cond`` on ``state.step % 16`` — one
+      program, but BOTH branches compile, so the R1 branch (a full extra D
+      fwd+bwd) and the PL branch (a full extra synthesis fwd+VJP) double the
+      HLO even on steps that skip them.
+    - ``True`` / ``False``: the branch is baked statically. The Trainer
+      compiles one program per (r1, pl) combination and dispatches by
+      ``step % 16`` on the host — each program carries only the code it
+      runs, which roughly halves G/D-side HLO at 128^3 (the compiler-limit
+      regime that forced split-step mode). Numerically identical to the
+      dynamic form; both D-steps and the G-step of one iteration share the
+      same ``state.step``, so r1/pl fire together (the reference trainer
+      passes the same outer ``i`` to step_D and step_G:
+      trainer.py:214-220, 262-269).
+    """
+    d_update, g_update = _build_updates(cfg, G, D, g_tx, d_tx,
+                                        static_r1, static_pl)
+
     def step_fn(state: TrainState, reals: jax.Array, base_key: jax.Array
                 ) -> Tuple[TrainState, Dict[str, jax.Array], jax.Array]:
         key = fold_step(base_key, state.step)
@@ -219,3 +264,30 @@ def build_stylegan_step(cfg: Config, G, D,
         return state, metrics, jax.lax.stop_gradient(fake)
 
     return step_fn
+
+
+def build_stylegan_split_steps(cfg: Config, G, D,
+                               g_tx: optax.GradientTransformation,
+                               d_tx: optax.GradientTransformation,
+                               *, static_r1=None, static_pl=None):
+    """Split (two-program) stylegan step for cfg.fused_step=False: returns
+    (d_step(state, real, base_key, i), g_step(state, base_key)). Key-folding
+    matches the fused step exactly, so the modes are numerically identical —
+    used when one fused program overloads the XLA compiler (128^3 + remat)."""
+    d_update, g_update = _build_updates(cfg, G, D, g_tx, d_tx,
+                                        static_r1, static_pl)
+
+    def d_step(state: TrainState, real: jax.Array, base_key: jax.Array,
+               i: jax.Array):
+        key = fold_step(base_key, state.step)
+        state, (err_real, err_fake) = d_update(state, real,
+                                               jax.random.fold_in(key, i))
+        return state, {"d_real": err_real, "d_fake": err_fake}
+
+    def g_step(state: TrainState, base_key: jax.Array):
+        key = fold_step(base_key, state.step)
+        state, err_g, fake = g_update(state, jax.random.fold_in(key, 1000))
+        state = state.replace(step=state.step + 1)
+        return state, {"g_loss": err_g}, jax.lax.stop_gradient(fake)
+
+    return d_step, g_step

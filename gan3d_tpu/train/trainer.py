@@ -121,19 +121,75 @@ class Trainer:
         self.state = jax.device_put(state, rep)
 
         if self.family in ("stylegan2", "stylegan"):
-            from gan3d_tpu.models.stylegan.loss import build_stylegan_step
+            # The lazy R1/PL branches are hoisted out of lax.cond: we compile
+            # one program per (reg on, reg off) and dispatch by the host step
+            # index (state.step == i in the train loop), so each program
+            # carries only the code it runs — halves G/D-side HLO at 128^3.
+            # stylegan(-1): R1 fires every step -> a single program suffices.
+            from gan3d_tpu.models.stylegan.loss import (
+                LAZY_INTERVAL, build_stylegan_split_steps, build_stylegan_step)
 
-            step_fn = build_stylegan_step(cfg, self.G, self.D, self.g_tx,
-                                          self.d_tx)
-            self._step = jax.jit(step_fn, in_shardings=(rep, batch_in, rep),
-                                 out_shardings=(rep, rep, batch_out),
-                                 donate_argnums=(0,))
+            is_v2 = self.family == "stylegan2"
+
+            def _jit_fused(r1, pl):
+                fn = build_stylegan_step(cfg, self.G, self.D, self.g_tx,
+                                         self.d_tx, static_r1=r1,
+                                         static_pl=pl)
+                return jax.jit(fn, in_shardings=(rep, batch_in, rep),
+                               out_shardings=(rep, rep, batch_out),
+                               donate_argnums=(0,))
+
+            if cfg.fused_step:
+                if is_v2:
+                    step_reg = _jit_fused(True, True)
+                    step_plain = _jit_fused(False, False)
+
+                    def sg_step(state, reals, base_key, i):
+                        fn = step_reg if i % LAZY_INTERVAL == 0 else step_plain
+                        return fn(state, reals, base_key)
+
+                    self._step = sg_step
+                else:
+                    step_only = _jit_fused(True, False)
+                    self._step = lambda s, r, k, i: step_only(s, r, k)
+            else:
+                def _jit_split(r1, pl):
+                    d_fn, g_fn = build_stylegan_split_steps(
+                        cfg, self.G, self.D, self.g_tx, self.d_tx,
+                        static_r1=r1, static_pl=pl)
+                    d_jit = jax.jit(d_fn,
+                                    in_shardings=(rep, batch_out, rep, rep),
+                                    out_shardings=(rep, rep),
+                                    donate_argnums=(0,))
+                    g_jit = jax.jit(g_fn, in_shardings=(rep, rep),
+                                    out_shardings=(rep, rep, batch_out),
+                                    donate_argnums=(0,))
+                    return d_jit, g_jit
+
+                if is_v2:
+                    reg_fns = _jit_split(True, True)
+                    plain_fns = _jit_split(False, False)
+                else:
+                    reg_fns = plain_fns = _jit_split(True, False)
+
+                def sg_split_step(state, reals, base_key, i):
+                    d_jit, g_jit = (reg_fns if i % LAZY_INTERVAL == 0
+                                    else plain_fns)
+                    d_metrics = {}
+                    for k in range(cfg.iterD):
+                        state, d_metrics = d_jit(state, reals[k], base_key,
+                                                 jnp.int32(k))
+                    state, g_metrics, fake = g_jit(state, base_key)
+                    return state, {**d_metrics, **g_metrics}, fake
+
+                self._step = sg_split_step
         elif cfg.fused_step:
             step_fn = build_train_step(cfg, self.G, self.D, self.g_tx,
                                        self.d_tx)
-            self._step = jax.jit(step_fn, in_shardings=(rep, batch_in, rep),
-                                 out_shardings=(rep, rep, batch_out),
-                                 donate_argnums=(0,))
+            fused = jax.jit(step_fn, in_shardings=(rep, batch_in, rep),
+                            out_shardings=(rep, rep, batch_out),
+                            donate_argnums=(0,))
+            self._step = lambda s, r, k, i: fused(s, r, k)
         else:
             # Split mode: two smaller XLA programs (numerically identical to
             # the fused step) — for configs whose fused HLO overloads the
@@ -148,11 +204,11 @@ class Trainer:
                             out_shardings=(rep, rep, batch_out),
                             donate_argnums=(0,))
 
-            def split_step(state, reals, base_key):
+            def split_step(state, reals, base_key, i):
                 d_metrics = {}
-                for i in range(cfg.iterD):
-                    state, d_metrics = d_jit(state, reals[i], base_key,
-                                             jnp.int32(i))
+                for k in range(cfg.iterD):
+                    state, d_metrics = d_jit(state, reals[k], base_key,
+                                             jnp.int32(k))
                 state, g_metrics, fake = g_jit(state, base_key)
                 return state, {**d_metrics, **g_metrics}, fake
 
@@ -191,19 +247,42 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_inloop_fid(self):
-        """In-loop axial slice FID of fake vs the current real batch
-        (reference trainer.py:100-107). Needs Inception weights; returns a
-        nan-producing stub when unavailable (cfg.fid_in_loop gates it)."""
-        if not self.cfg.fid_in_loop:
+        """In-loop axial slice FID of fake vs the current real batch — the
+        reference computes it every steps_per_log unconditionally
+        (trainer.py:100-110). cfg.fid_in_loop: None (default) = faithful
+        whenever possible — Inception slice FID when weights are found,
+        warn-and-nan otherwise; True = force (random-feature stand-in when no
+        weights); False = off."""
+        mode = self.cfg.fid_in_loop
+        if mode is False:
             return lambda fake, real: float("nan")
-        try:
+        weights = self.cfg.inception_weights
+        if not weights:
+            fname = "pt_inception-2015-12-05-6726825d.pth"
+            for d in (os.getcwd(), self.log_dir):
+                cand = os.path.join(d, fname)
+                if os.path.isfile(cand):
+                    weights = cand
+                    break
+        if weights and os.path.isfile(weights):
+            try:
+                from gan3d_tpu.eval.slice_fid import SliceFID
+
+                sfid = SliceFID(weights_path=weights)
+                return lambda fake, real: sfid.axial(fake, real)
+            except Exception as e:  # noqa: BLE001 — bad weights file
+                print(f"in-loop FID disabled: {e}", flush=True)
+                return lambda fake, real: float("nan")
+        if mode is True:  # explicit opt-in without weights: stand-in
             from gan3d_tpu.eval.slice_fid import SliceFID
 
             sfid = SliceFID()
             return lambda fake, real: sfid.axial(fake, real)
-        except Exception as e:  # noqa: BLE001 — weights unavailable
-            print(f"in-loop FID disabled: {e}", flush=True)
-            return lambda fake, real: float("nan")
+        print("in-loop FID: no Inception weights found (set "
+              "cfg.inception_weights); logging FID as nan. The reference "
+              "computes slice-FID every steps_per_log (trainer.py:100-110).",
+              flush=True)
+        return lambda fake, real: float("nan")
 
     # ------------------------------------------------------------------
     def _flush_pending(self):
@@ -277,7 +356,7 @@ class Trainer:
                 reals_dev = put_global_batch(self.mesh, reals,
                                              P(None, "data"))
             self.state, metrics, fake = self._step(self.state, reals_dev,
-                                                   self._base_key)
+                                                   self._base_key, i)
             self._pending.append(metrics)  # device arrays; sync at log time
             self.energy.epoch_end()
             real = reals[-1]
@@ -289,6 +368,8 @@ class Trainer:
                 self.fid = []
                 self.save_checkpoint(i)
         # final log + checkpoint (reference trainer.py:172-175, 312)
+        gen.close()
+        self.loader.close()  # stop the prefetch producer thread promptly
         i = cfg.niters - 1
         self.profiler.close()
         self.energy.write(self.log_dir)

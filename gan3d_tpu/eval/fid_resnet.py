@@ -94,7 +94,9 @@ def load_torch_weights(path: str) -> Dict[str, Any]:
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
     sd = raw.get("state_dict", raw)
-    sd = {(k[7:] if k.startswith("module.") else k): v.numpy()
+    # np.array copy: torch .numpy() shares the buffer and JAX CPU zero-copies
+    # numpy — without it the flax variables would alias live torch tensors.
+    sd = {(k[7:] if k.startswith("module.") else k): np.array(v.numpy())
           for k, v in sd.items()}
 
     params: Dict[str, Any] = {}

@@ -185,7 +185,10 @@ def load_torch_weights(path: str) -> Dict[str, Any]:
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    sd = {k: v.numpy() for k, v in sd.items() if not k.startswith("fc.")}
+    # np.array copy: torch .numpy() shares the buffer and JAX CPU zero-copies
+    # numpy — without it the flax variables would alias live torch tensors.
+    sd = {k: np.array(v.numpy()) for k, v in sd.items()
+          if not k.startswith("fc.")}
 
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}

@@ -11,7 +11,10 @@
   normalization over every non-batch axis with a full-shape affine, as used
   by the WGAN DCGAN discriminator (reference: dcgan.py:162-178).
 
-Statistics are always accumulated in float32 regardless of compute dtype.
+Statistics are accumulated in AT LEAST float32 regardless of compute dtype:
+bf16/f16 inputs are promoted to f32 (the TPU mixed-precision contract), and
+f64 inputs stay f64 (a hard f32 cast here would silently destroy float64
+runs — exercised by tests/test_behavioral_parity.py's strict-parity mode).
 """
 
 from __future__ import annotations
@@ -23,6 +26,11 @@ import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+
+def _stat_dtype(x: jax.Array):
+    """The dtype statistics are accumulated in: at least float32."""
+    return jnp.promote_types(x.dtype, jnp.float32)
 
 
 class BatchNorm3d(nn.Module):
@@ -58,13 +66,14 @@ class BatchNorm3d(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.features,), jnp.float32))
 
+        sdt = _stat_dtype(x)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
-            y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+            y = (x.astype(sdt) - mean) * jax.lax.rsqrt(var + self.eps)
         elif self.num_groups > 1 and x.shape[0] % self.num_groups == 0:
             g = self.num_groups
             n, d, h, w, c = x.shape
-            x32 = x.astype(jnp.float32).reshape(g, n // g, d, h, w, c)
+            x32 = x.astype(sdt).reshape(g, n // g, d, h, w, c)
             mean = jnp.mean(x32, axis=(1, 2, 3, 4), keepdims=True)  # [g,...]
             mean_sq = jnp.mean(jnp.square(x32), axis=(1, 2, 3, 4),
                                keepdims=True)
@@ -75,12 +84,14 @@ class BatchNorm3d(nn.Module):
                 cnt = (n // g) * d * h * w
                 unbiased = var * (cnt / max(cnt - 1, 1))
                 m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value \
-                    + m * jnp.mean(mean, axis=0).reshape(c)
-                ra_var.value = (1 - m) * ra_var.value \
-                    + m * jnp.mean(unbiased, axis=0).reshape(c)
+                ra_mean.value = ((1 - m) * ra_mean.value
+                                 + m * jnp.mean(mean, axis=0).reshape(c)
+                                 ).astype(ra_mean.value.dtype)
+                ra_var.value = ((1 - m) * ra_var.value
+                                + m * jnp.mean(unbiased, axis=0).reshape(c)
+                                ).astype(ra_var.value.dtype)
         else:
-            x32 = x.astype(jnp.float32)
+            x32 = x.astype(sdt)
             n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
             mean = jnp.mean(x32, axis=(0, 1, 2, 3))
             mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2, 3))
@@ -92,8 +103,10 @@ class BatchNorm3d(nn.Module):
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+                ra_mean.value = ((1 - m) * ra_mean.value + m * mean
+                                 ).astype(ra_mean.value.dtype)
+                ra_var.value = ((1 - m) * ra_var.value + m * unbiased
+                                ).astype(ra_var.value.dtype)
             y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
 
         if self.use_scale_bias:
@@ -101,7 +114,7 @@ class BatchNorm3d(nn.Module):
                                self.param_dtype)
             bias = self.param("bias", self.bias_init, (self.features,),
                               self.param_dtype)
-            y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+            y = y * scale.astype(sdt) + bias.astype(sdt)
         return y.astype(x.dtype)
 
 
@@ -122,9 +135,10 @@ class LayerNormVolume(nn.Module):
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, self.shape,
                           self.param_dtype)
-        x32 = x.astype(jnp.float32)
+        sdt = _stat_dtype(x)
+        x32 = x.astype(sdt)
         mean = jnp.mean(x32, axis=(1, 2, 3, 4), keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3, 4), keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        y = y * scale.astype(sdt) + bias.astype(sdt)
         return y.astype(x.dtype)

@@ -1,17 +1,21 @@
 """Headline benchmark: BigGAN-Deep-3D training throughput at 64^3.
 
-Measures the fused train step (iterD=2 D-updates + 1 G-update, hinge loss,
-spectral norm + 3D self-attention — BASELINE.json config 3) on the available
-accelerator and prints ONE JSON line:
+Measures the full train iteration (iterD=2 D-updates + 1 G-update, hinge
+loss, spectral norm + 3D self-attention — BASELINE.json config 3) on the
+available accelerator and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "volumes/sec/chip", "vs_baseline": N}
 
 volumes/sec counts generated volumes per second: batch_size * full_steps/sec.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
-denominator is an analytic A100 estimate for the same config documented
-below; it is replaced by a measured value if BASELINE_MEASURED.json exists
-(written on a machine that can run the torch reference on an A100).
+denominator comes from BASELINE_MEASURED.json — the torch reference measured
+on this host with the A100 number derived by GEMM-ratio roofline transfer
+(scripts/measure_reference_baseline.py documents the method). Falls back to
+the analytic estimate below if the measured file is absent.
+
+--family=stylegan2 benches BASELINE.json config 4 (mapping net + modulated
+conv + lazy regularization, amortized at its true 1/16 cadence).
 """
 
 from __future__ import annotations
@@ -22,11 +26,9 @@ import os
 import sys
 import time
 
-# Provisional A100 baseline for torch eager BigGAN-Deep-3D 64^3 batch 16,
-# hinge, AMP (volumes/sec on ONE A100). Derivation: the reference trains
-# eagerly with cuDNN 3D convs; comparable published 3D-GAN training runs at
-# 64^3 sustain ~2-4 iter/s at batch 16 on A100-class parts -> ~32-64 vol/s.
-# We take the optimistic end (64) so vs_baseline is conservative.
+# Fallback A100 estimate if BASELINE_MEASURED.json is absent: comparable
+# published 3D-GAN training runs at 64^3 sustain ~2-4 iter/s at batch 16 on
+# A100-class parts -> ~32-64 vol/s; we take the optimistic end.
 A100_BASELINE_VPS = 64.0
 
 
@@ -42,63 +44,51 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+class _ZeroDataset:
+    """Stub dataset for Trainer construction; the bench drives the jitted
+    step directly with synthetic device-resident batches."""
+
+    def __init__(self, n: int, res: int):
+        self.n, self.res = n, res
+
+    def __len__(self) -> int:
+        return self.n
+
+    def batch(self, idx):
+        import numpy as np
+
+        return np.zeros((len(idx), self.res, self.res, self.res), np.float32)
+
+
 def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
-            filters: int = 64, remat: bool = False,
-            channel_ratio: int = 4) -> float:
+            filters: int = 64, remat: bool = False, channel_ratio: int = 4,
+            family: str = "biggan", fused: bool = True,
+            fast_conv: str = "auto") -> float:
+    import tempfile
+
     import jax
-    import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from gan3d_tpu.config import Config
-    from gan3d_tpu.models import build_models
-    from gan3d_tpu.parallel.mesh import make_mesh
-    from gan3d_tpu.train.state import TrainState, make_optimizer
-    from gan3d_tpu.train.step import build_train_step
+    from gan3d_tpu.train.trainer import Trainer
 
-    cfg = Config(biggan=True, hinge=True, resolution=resolution,
-                 filterG=filters, filterD=filters, z_size=512,
-                 batch_size=batch_size, iterD=2, remat=remat,
-                 channel_ratio=channel_ratio)
-    mesh = make_mesh(1)
-    G, D = build_models(cfg)
-    key = jax.random.key(0)
-    z0 = jnp.zeros((batch_size, cfg.z_size))
+    fam_kw = ({"stylegan2": True} if family == "stylegan2"
+              else {"biggan": True, "hinge": True})
+    cfg = Config(resolution=resolution, filterG=filters, filterD=filters,
+                 z_size=512, batch_size=batch_size, iterD=2, remat=remat,
+                 channel_ratio=channel_ratio, fused_step=fused,
+                 fast_conv=fast_conv, fid_in_loop=False,
+                 log_dir=tempfile.mkdtemp(prefix="bench_"),
+                 data_loader_workers=1, **fam_kw)
     t = time.perf_counter()
-    # jit the inits: eager init dispatches hundreds of tiny compiles.
-    gv = jax.jit(G.init)({"params": key}, z0)
-    fshape = jax.eval_shape(
-        lambda v, z: G.apply(v, z, train=True,
-                             mutable=["batch_stats", "spectral"])[0], gv, z0)
-    dv = jax.jit(D.init)({"params": key},
-                         jnp.zeros(fshape.shape, jnp.float32))
-    jax.block_until_ready((gv, dv))
-    print(f"# init {time.perf_counter() - t:.1f}s", file=sys.stderr, flush=True)
-    g_tx = make_optimizer(cfg.lrG, cfg.adam_b1, cfg.adam_b2)
-    d_tx = make_optimizer(cfg.lrD, cfg.adam_b1, cfg.adam_b2)
-    state = TrainState(
-        step=jnp.int32(0),
-        g_params=gv["params"],
-        g_state={k: v for k, v in gv.items() if k != "params"},
-        g_opt=g_tx.init(gv["params"]),
-        d_params=dv["params"],
-        d_state={k: v for k, v in dv.items() if k != "params"},
-        d_opt=d_tx.init(dv["params"]),
-    )
-    rep = NamedSharding(mesh, P())
-    batch_in = NamedSharding(mesh, P(None, "data"))
-    batch_out = NamedSharding(mesh, P("data"))
-    state = jax.device_put(state, rep)
-    step = jax.jit(build_train_step(cfg, G, D, g_tx, d_tx),
-                   in_shardings=(rep, batch_in, rep),
-                   out_shardings=(rep, rep, batch_out),
-                   donate_argnums=(0,))
+    tr = Trainer(_ZeroDataset(4 * batch_size, resolution), cfg)
+    print(f"# trainer init {time.perf_counter() - t:.1f}s",
+          file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
     reals = jax.device_put(
         rng.normal(size=(cfg.iterD, batch_size, resolution, resolution,
                          resolution, 1)).astype(np.float32).clip(-1, 1),
-        batch_in)
-    base_key = jax.random.key(1)
+        tr._batch_in)
 
     def sync(m):
         # device_get forces a real device->host readback; on the experimental
@@ -106,17 +96,21 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
         # finishes, inflating throughput ~10x.
         return float(jax.device_get(m["g_loss"]))
 
+    state = tr.state
     t = time.perf_counter()
-    for _ in range(warmup):
-        state, metrics, _ = step(state, reals, base_key)
+    # warmup from i=0 so stylegan2 compiles BOTH lazy-reg programs (i%16==0
+    # fires the reg step).
+    for i in range(warmup):
+        state, metrics, _ = tr._step(state, reals, tr._base_key, i)
     sync(metrics)
     print(f"# compile+warmup {time.perf_counter() - t:.1f}s",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics, _ = step(state, reals, base_key)
+    for i in range(warmup, warmup + iters):
+        state, metrics, _ = tr._step(state, reals, tr._base_key, i)
     sync(metrics)
     dt = time.perf_counter() - t0
+    tr.loader.close()
     return batch_size * iters / dt
 
 
@@ -126,13 +120,25 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=0, help="0 = auto")
     p.add_argument("--resolution", type=int, default=64)
     p.add_argument("--filters", type=int, default=64)
+    p.add_argument("--family", default="biggan",
+                   choices=["biggan", "stylegan2"])
+    p.add_argument("--fused_step", default="True")
+    p.add_argument("--fast_conv", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="lane-packed narrow-conv rewrite (ops/lane_conv.py)")
     p.add_argument("--channel_ratio", type=int, default=4,
                    help="bottleneck shrink (4 = reference; smaller = wider "
                         "hidden convs, better MXU utilization)")
     a = p.parse_args()
     _enable_compile_cache()
-    iters = 5 if a.quick else 20
-    warmup = 2 if a.quick else 3
+    fused = str(a.fused_step).lower() in ("1", "true", "yes")
+    if a.family == "stylegan2":
+        # lazy regularization fires every 16 steps; amortize exactly.
+        iters = 16 if a.quick else 32
+        warmup = 2
+    else:
+        iters = 5 if a.quick else 20
+        warmup = 2 if a.quick else 3
 
     if a.batch:
         candidates = [(a.batch, False), (a.batch, True)]
@@ -142,7 +148,7 @@ def main() -> None:
     for b, remat in candidates:
         try:
             vps = measure(b, iters, warmup, a.resolution, a.filters, remat,
-                          a.channel_ratio)
+                          a.channel_ratio, a.family, fused, a.fast_conv)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback
@@ -153,16 +159,23 @@ def main() -> None:
         raise SystemExit("benchmark failed at all batch sizes")
 
     baseline = A100_BASELINE_VPS
-    if os.path.isfile("BASELINE_MEASURED.json"):
-        with open("BASELINE_MEASURED.json") as f:
+    measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_MEASURED.json")
+    if os.path.isfile(measured):
+        with open(measured) as f:
             baseline = float(json.load(f)["volumes_per_sec"])
-    print(json.dumps({
-        "metric": f"BigGAN-Deep-3D {a.resolution}^3 train throughput "
-                  f"(batch {used}, iterD=2, hinge)",
+    name = ("StyleGAN2-3D" if a.family == "stylegan2" else "BigGAN-Deep-3D")
+    out = {
+        "metric": f"{name} {a.resolution}^3 train throughput "
+                  f"(batch {used}, iterD=2{', hinge' if a.family == 'biggan' else ''})",
         "value": round(vps, 3),
         "unit": "volumes/sec/chip",
-        "vs_baseline": round(vps / baseline, 3),
-    }))
+    }
+    # the measured baseline is the biggan flagship config; other families
+    # have no reference measurement to divide by.
+    out["vs_baseline"] = (round(vps / baseline, 3) if a.family == "biggan"
+                          else None)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,11 @@ class Config:
                                  # (reference utils.py:48 fixes 4); smaller =
                                  # wider hidden convs = far better MXU
                                  # utilization on TPU (docs/PERF.md)
+    fast_conv: str = "auto"      # lane-packed rewrite of narrow-channel k=3
+                                 # convs (ops/lane_conv.py): "auto" = on when
+                                 # the backend is TPU, "on"/"off" = force.
+                                 # Numerically equivalent modulo f32 summation
+                                 # order; read at trace time.
     # ---- multi-host (DCN) — no reference equivalent (SURVEY §2.2) ----
     distributed: bool = False    # call jax.distributed.initialize at startup
     coordinator_address: str = ""  # host:port of process 0 ("" = env/auto)

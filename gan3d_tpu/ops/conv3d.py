@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from gan3d_tpu.ops import lane_conv
+
 IntOr3 = Union[int, Sequence[int]]
 
 _DN = ("NDHWC", "DHWIO", "NDHWC")
@@ -44,8 +46,16 @@ def conv3d(
     """3D convolution, torch nn.Conv3d semantics (cross-correlation).
 
     x: [N, D, H, W, Cin]; w: [kd, kh, kw, Cin//groups, Cout].
+
+    Narrow-channel k=3 stride-1 convs (the BigGAN-deep bottleneck hot path)
+    are rewritten to the lane-packed formulation when enabled — see
+    ops/lane_conv.py and docs/PERF.md.
     """
     s, p, d = _triple(stride), _triple(padding), _triple(dilation)
+    if lane_conv.lane_conv_enabled():
+        t = lane_conv.eligible(x.shape, w.shape, s, p, d, groups)
+        if t is not None:
+            return lane_conv.lane_conv3d(x, w, t, lane_conv.lane_conv_variant())
     return lax.conv_general_dilated(
         x,
         w,

@@ -59,6 +59,11 @@ class Trainer:
         self.cfg = cfg
         self.family = cfg.family()
 
+        # Lane-packed narrow-conv rewrite (ops/lane_conv.py) — set before any
+        # model tracing; the flag is read at trace time.
+        from gan3d_tpu.ops.lane_conv import set_lane_conv_mode
+        set_lane_conv_mode(cfg.fast_conv)
+
         if cfg.resolution >= 128 and not cfg.remat:
             print("hint: at 128^3+, --remat=True --fused_step=False is "
                   "usually required to fit HBM / the compiler "

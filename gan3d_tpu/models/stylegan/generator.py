@@ -54,7 +54,8 @@ class SynthesisBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Optional[jax.Array], ws: jax.Array,
-                 img: Optional[jax.Array], noise_mode: str = "random"):
+                 img: Optional[jax.Array], noise_mode: str = "random",
+                 fused_modconv: bool = False):
         dtype = self.dtype or jnp.float32
         w_iter = iter([ws[:, i] for i in range(ws.shape[1])])
         kw = dict(w_dim=self.w_dim, resolution=self.resolution,
@@ -67,13 +68,13 @@ class SynthesisBlock(nn.Module):
             x = jnp.broadcast_to(const[None], (ws.shape[0],) + const.shape)
             x = x.astype(dtype)
             x = SynthesisLayer(self.out_channels, name="conv1", **kw)(
-                x, next(w_iter), noise_mode)
+                x, next(w_iter), noise_mode, fused_modconv=fused_modconv)
         else:
             x = x.astype(dtype)
             x = SynthesisLayer(self.out_channels, up=2, name="conv0", **kw)(
-                x, next(w_iter), noise_mode)
+                x, next(w_iter), noise_mode, fused_modconv=fused_modconv)
             x = SynthesisLayer(self.out_channels, name="conv1", **kw)(
-                x, next(w_iter), noise_mode)
+                x, next(w_iter), noise_mode, fused_modconv=fused_modconv)
 
         if img is not None:
             # FIR-upsample the accumulated image (reference
@@ -85,7 +86,8 @@ class SynthesisBlock(nn.Module):
             img = upfirdn3d(img, f, up=up, padding=p, gain=up ** 3)
         if self.is_last or self.architecture == "skip":
             y = OutBlock(self.img_channels, w_dim=self.w_dim, name="torgb",
-                         param_dtype=self.param_dtype)(x, next(w_iter))
+                         param_dtype=self.param_dtype)(
+                             x, next(w_iter), fused_modconv=fused_modconv)
             y = y.astype(jnp.float32)
             img = img + y if img is not None else y
         return x, img
@@ -114,7 +116,8 @@ class SynthesisNetwork(nn.Module):
         return n
 
     @nn.compact
-    def __call__(self, ws: jax.Array, noise_mode: str = "random") -> jax.Array:
+    def __call__(self, ws: jax.Array, noise_mode: str = "random",
+                 fused_modconv: bool = False) -> jax.Array:
         chans = synthesis_channels(self.channel_base, self.img_resolution,
                                    self.channel_max)
         ws = ws.astype(jnp.float32)
@@ -133,7 +136,8 @@ class SynthesisNetwork(nn.Module):
             take = block.num_conv + block.num_torgb
             block_ws = ws[:, w_idx : w_idx + take]
             w_idx += block.num_conv
-            x, img = block(x, block_ws, img, noise_mode)
+            x, img = block(x, block_ws, img, noise_mode,
+                           fused_modconv=fused_modconv)
         return jnp.tanh(img)
 
 
@@ -162,17 +166,27 @@ class Generator(nn.Module):
 
     def __call__(self, z: jax.Array, train: bool = True,
                  update_stats: bool = True, noise_mode: str = "random",
-                 truncation_psi: float = 1.0):
-        del train, update_stats  # BN-free; kept for a uniform model API
+                 truncation_psi: float = 1.0,
+                 fused_modconv: Optional[bool] = None):
+        del update_stats  # BN-free; kept for a uniform model API
+        if fused_modconv is None:
+            # reference default (stylegan.py:601): fused when not training
+            # AND (full precision or batch 1) — low-precision batched fused
+            # forwards drift at bf16 epsilon, so the reference avoids them.
+            dt = self.dtype or jnp.float32
+            fused_modconv = (not train) and (dt == jnp.float32
+                                             or z.shape[0] == 1)
         ws = self.mapping(z, truncation_psi=truncation_psi)
-        img = self.synthesis(ws, noise_mode=noise_mode)
+        img = self.synthesis(ws, noise_mode=noise_mode,
+                             fused_modconv=fused_modconv)
         return img, ws
 
     def map_ws(self, z: jax.Array, update_w_avg: bool = False) -> jax.Array:
         """Mapping only (style mixing in the loss)."""
         return self.mapping(z, update_w_avg=update_w_avg)
 
-    def synthesize(self, ws: jax.Array, noise_mode: str = "random"
-                   ) -> jax.Array:
+    def synthesize(self, ws: jax.Array, noise_mode: str = "random",
+                   fused_modconv: bool = False) -> jax.Array:
         """Synthesis only (path-length regularization wrt ws)."""
-        return self.synthesis(ws, noise_mode=noise_mode)
+        return self.synthesis(ws, noise_mode=noise_mode,
+                              fused_modconv=fused_modconv)

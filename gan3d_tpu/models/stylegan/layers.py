@@ -95,12 +95,39 @@ def modulated_conv3d(
     resample_filter: Optional[jnp.ndarray] = None,
     demodulate: bool = True,
     flip_weight: bool = True,
+    fused: bool = False,
 ) -> jax.Array:
-    """Non-fused StyleGAN2 modulated conv (reference stylegan.py:426-435):
-    scale activations by styles, convolve with the shared weight, then scale
-    outputs by the demodulation coefficients; optional noise add."""
+    """StyleGAN2 modulated conv.
+
+    ``fused=False`` (reference stylegan.py:426-435, the reference's TRAINING
+    path): scale activations by styles, convolve with the shared weight,
+    then scale outputs by the demodulation coefficients; optional noise add.
+
+    ``fused=True`` (reference stylegan.py:438-445, chosen when NOT training
+    — stylegan.py:601): fold modulation and demodulation into per-sample
+    weights and convolve each sample with its own kernel.  The reference
+    uses a grouped conv with groups=batch; here a vmap'd conv lowers to the
+    same batched contraction without the grouped-conv layout.  Numerically
+    this differs from non-fused only in f32 summation order (no fp16
+    pre-normalization needed: compute is bf16/f32 on TPU)."""
     n = x.shape[0]
     kd, kh, kw, cin, cout = weight.shape
+
+    if fused:
+        w = (weight.astype(jnp.float32)[None]
+             * styles.astype(jnp.float32).reshape(n, 1, 1, 1, cin, 1))
+        if demodulate:
+            d = jax.lax.rsqrt(
+                jnp.sum(jnp.square(w), axis=(1, 2, 3, 4)) + 1e-8)  # [N, Cout]
+            w = w * d.reshape(n, 1, 1, 1, 1, cout)
+        y = jax.vmap(
+            lambda xi, wi: conv3d_resample(
+                xi[None], wi, f=resample_filter, up=up, down=down,
+                padding=padding, flip_weight=flip_weight)[0]
+        )(x, w.astype(x.dtype))
+        if noise is not None:
+            y = y + noise.astype(y.dtype)
+        return y
 
     dcoefs = None
     if demodulate:
@@ -177,7 +204,8 @@ class SynthesisLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, w: jax.Array,
-                 noise_mode: str = "random", gain: float = 1.0) -> jax.Array:
+                 noise_mode: str = "random", gain: float = 1.0,
+                 fused_modconv: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
         styles = FullyConnectedLayer(in_ch, bias_init=1.0, name="affine",
                                      param_dtype=self.param_dtype)(
@@ -205,7 +233,7 @@ class SynthesisLayer(nn.Module):
             x, weight, styles, noise=noise, up=self.up,
             padding=self.kernel_size // 2,
             resample_filter=setup_filter(self.resample_taps),
-            flip_weight=(self.up == 1))
+            flip_weight=(self.up == 1), fused=fused_modconv)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        self.param_dtype)
         y = bias_act(y, b, act=self.activation)
@@ -224,7 +252,8 @@ class OutBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, w: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, w: jax.Array,
+                 fused_modconv: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
         weight_gain = 1.0 / np.sqrt(in_ch * self.kernel_size ** 3)
         styles = FullyConnectedLayer(in_ch, bias_init=1.0, name="affine",
@@ -233,7 +262,8 @@ class OutBlock(nn.Module):
         weight = self.param("weight", nn.initializers.normal(1.0),
                             (self.kernel_size,) * 3 + (in_ch, self.features),
                             self.param_dtype)
-        y = modulated_conv3d(x, weight, styles, demodulate=False)
+        y = modulated_conv3d(x, weight, styles, demodulate=False,
+                             fused=fused_modconv)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        self.param_dtype)
         return bias_act(y, b)

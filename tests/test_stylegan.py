@@ -170,6 +170,49 @@ class TestModulatedConv:
         np.testing.assert_allclose(np.asarray(out), np.stack(outs), atol=1e-4,
                                    rtol=1e-3)
 
+    def test_fused_matches_nonfused(self):
+        """fused=True (reference's eval path, stylegan.py:438-445) matches
+        the non-fused training path — with and without demod/noise/up."""
+        n, cin, cout, k = 2, 3, 5, 3
+        x = jnp.asarray(rand(n, 4, 4, 4, cin))
+        w = jnp.asarray(rand(k, k, k, cin, cout))
+        styles = jnp.asarray(rand(n, cin) * 0.5 + 1.0)
+        noise = jnp.asarray(rand(n, 4, 4, 4, 1) * 0.1)
+        for demod in (True, False):
+            a = modulated_conv3d(x, w, styles, noise=noise, padding=1,
+                                 demodulate=demod)
+            b = modulated_conv3d(x, w, styles, noise=noise, padding=1,
+                                 demodulate=demod, fused=True)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+        from gan3d_tpu.models.stylegan.resample import setup_filter
+        a = modulated_conv3d(x, w, styles, up=2, padding=1,
+                             resample_filter=setup_filter((1, 3, 3, 1)),
+                             flip_weight=False)
+        b = modulated_conv3d(x, w, styles, up=2, padding=1,
+                             resample_filter=setup_filter((1, 3, 3, 1)),
+                             flip_weight=False, fused=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_generator_fused_eval_path(self):
+        """G with train=False (reference: fused_modconv at eval,
+        stylegan.py:601) matches train=True synthesis numerics."""
+        from gan3d_tpu.models.stylegan import Generator
+
+        cfg = Config(stylegan2=True, resolution=8, z_size=8, filterG=128)
+        g = Generator(cfg)
+        z = jnp.asarray(rand(2, 8))
+        rngs = {"params": jax.random.key(0), "noise": jax.random.key(1)}
+        v = g.init(rngs, z)
+        kw = dict(noise_mode="const", mutable=["noise_consts", "mapping"],
+                  rngs={"noise": jax.random.key(2),
+                        "params": jax.random.key(3)})
+        (img_t, _), _ = g.apply(v, z, train=True, **kw)
+        (img_e, _), _ = g.apply(v, z, train=False, **kw)
+        np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_e),
+                                   atol=1e-5, rtol=1e-4)
+
     def test_no_demodulate(self):
         n, cin, cout = 2, 4, 3
         x = rand(n, 4, 4, 4, cin)

@@ -30,6 +30,14 @@ constant. This script replaces the constant with a *measured* baseline:
 Usage:
   python scripts/measure_reference_baseline.py --iters 2 --warmup 1 --write
 
+Batch-size note: the flagship config is batch 16, but on this 1-core host
+the reference's eager attention materializes an 8.6 GB score tensor at
+batch 16 and the run degenerates into allocator churn (>90% system time),
+which would make the reference look slower than compute alone — a bias in
+OUR favor. Volumes/sec on a serial host is batch-independent (compute
+scales linearly), so the default measurement batch is 4 (2.1 GB attention
+tensor); the GEMM-fraction transfer is unchanged.
+
 Writes BASELINE_MEASURED.json at the repo root when --write is passed;
 bench.py then uses its "volumes_per_sec" as the vs_baseline denominator.
 """
@@ -193,15 +201,20 @@ def measure_step(G, D, batch, z_size, res, iters, warmup, iterD=2):
     for p in list(G.parameters()) + list(D.parameters()):
         p.requires_grad = False
 
-    for _ in range(warmup):
+    for k in range(warmup):
+        t = time.perf_counter()
         for _ in range(iterD):
             d_step()
         g_step()
+        print(f"# warmup iter {k}: {time.perf_counter() - t:.0f}s",
+              flush=True)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for k in range(iters):
+        t = time.perf_counter()
         for _ in range(iterD):
             d_step()
         g_step()
+        print(f"# iter {k}: {time.perf_counter() - t:.0f}s", flush=True)
     dt = (time.perf_counter() - t0) / iters
     return dt
 
@@ -244,7 +257,7 @@ def measure_hot_convs(batch=16):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--filters", type=int, default=64)

@@ -95,8 +95,11 @@ class Config:
                                  # wider hidden convs = far better MXU
                                  # utilization on TPU (docs/PERF.md)
     fast_conv: str = "auto"      # lane-packed rewrite of narrow-channel k=3
-                                 # convs (ops/lane_conv.py): "auto" = on when
-                                 # the backend is TPU, "on"/"off" = force.
+                                 # convs (ops/lane_conv.py): "auto" = the
+                                 # measured end-to-end winner (currently OFF:
+                                 # isolated-conv wins don't survive block
+                                 # fusion — docs/PERF.md); "on"/"bwd"/"off"
+                                 # force the rewrite / hybrid / plain paths.
                                  # Numerically equivalent modulo f32 summation
                                  # order; read at trace time.
     # ---- multi-host (DCN) — no reference equivalent (SURVEY §2.2) ----

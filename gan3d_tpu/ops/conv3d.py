@@ -55,6 +55,8 @@ def conv3d(
     if lane_conv.lane_conv_enabled():
         t = lane_conv.eligible(x.shape, w.shape, s, p, d, groups)
         if t is not None:
+            if lane_conv.lane_conv_mode() == "bwd":
+                return lane_conv.hybrid_conv3d(x, w, t)
             return lane_conv.lane_conv3d(x, w, t, lane_conv.lane_conv_variant())
     return lax.conv_general_dilated(
         x,

@@ -45,8 +45,16 @@ _DN = ("NDHWC", "DHWIO", "NDHWC")
 
 # Global mode, read at TRACE time by ops.conv3d.conv3d:
 #   "off"  — never rewrite
-#   "auto" — rewrite eligible convs when the default backend is TPU
-#   "on"   — rewrite eligible convs on any backend (tests/benchmarks)
+#   "auto" — the measured end-to-end winner. Currently OFF everywhere:
+#            despite 23-45% isolated-conv wins, every real block variant of
+#            the flagship model regresses with the rewrite (the pad/reshape
+#            boundary breaks XLA's producer/consumer fusion), and the full
+#            train step measures 13.8 vs 18.0 vol/s. docs/PERF.md has the
+#            complete measurement chain (conv -> block -> step).
+#   "on"   — lane-pack eligible convs fwd AND bwd (isolated-conv winner)
+#   "bwd"  — plain conv forward, lane-packed dx in the backward (hybrid;
+#            also loses at block level — mixing packed/plain layouts
+#            between fwd and bwd composes worse than either pure mode)
 # Set once at startup (gan3d_tpu.config wires cfg.fast_conv here); changing
 # it does NOT invalidate already-traced jitted functions.
 _MODE = os.environ.get("GAN3D_LANE_CONV", "auto")
@@ -55,17 +63,20 @@ _VARIANT = "k2"
 
 def set_lane_conv_mode(mode: str, variant: str = "k2") -> None:
     global _MODE, _VARIANT
-    assert mode in ("off", "auto", "on"), mode
+    assert mode in ("off", "auto", "on", "bwd"), mode
     assert variant in ("k2", "k3"), variant
     _MODE, _VARIANT = mode, variant
 
 
+def lane_conv_mode() -> str:
+    """Resolved mode: "off" | "on" | "bwd"."""
+    if _MODE == "auto":
+        return "off"
+    return _MODE
+
+
 def lane_conv_enabled() -> bool:
-    if _MODE == "off":
-        return False
-    if _MODE == "on":
-        return True
-    return jax.default_backend() == "tpu"
+    return lane_conv_mode() != "off"
 
 
 def lane_conv_variant() -> str:
@@ -160,3 +171,50 @@ def lane_conv3d(x: jax.Array, w: jax.Array, t: int,
         preferred_element_type=x.dtype,
     )
     return y.reshape(n, d, h, wd, c_out)
+
+
+def _plain_conv(x: jax.Array, w: jax.Array) -> jax.Array:
+    return lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=_DN,
+        preferred_element_type=x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hybrid_conv3d(x: jax.Array, w: jax.Array, t: int) -> jax.Array:
+    """k=3 s=1 p=1 conv: plain XLA forward, lane-packed backward.
+
+    Why: measured at block level (scripts/bench_block_conv.py), the
+    lane-packed forward LOSES despite winning in isolation — the
+    pad/reshape boundary stops XLA from fusing the preceding BN/ReLU into
+    the conv.  The backward dx is a transposed conv with no such producer
+    fusion to lose, and it is exactly as narrow as the forward — there the
+    lane packing keeps its measured win.  dw uses the standard XLA
+    batch<->feature-swap contraction (identical to autodiff's).
+    """
+    return _plain_conv(x, w)
+
+
+def _hybrid_fwd(x, w, t):
+    return _plain_conv(x, w), (x, w)
+
+
+def _hybrid_bwd(t, res, g):
+    x, w = res
+    # dx: conv of g with spatially-flipped, in/out-transposed weights.
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    t_dx = pick_tile(w.shape[3], g.shape[3])
+    if t_dx is not None:
+        dx = lane_conv3d(g, w_flip, t_dx, _VARIANT)
+    else:
+        dx = _plain_conv(g, w_flip)
+    # dw: batch<->feature swap trick.
+    x_t = jnp.transpose(x, (4, 1, 2, 3, 0))   # [Cin, D, H, W, N]
+    g_t = jnp.transpose(g, (1, 2, 3, 0, 4))   # [D, H, W, N, Cout]
+    dw = lax.conv_general_dilated(
+        x_t, g_t, window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+        dimension_numbers=_DN, preferred_element_type=w.dtype)
+    dw = jnp.transpose(dw, (1, 2, 3, 0, 4)).astype(w.dtype)
+    return dx.astype(x.dtype), dw
+
+
+hybrid_conv3d.defvjp(_hybrid_fwd, _hybrid_bwd)

@@ -38,8 +38,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _padded_lanes(t: int, c_in: int) -> int:
+    """Mosaic requires HBM DMA slices 128-aligned in the minor dim; pad
+    (T+2)*Cin up.  NB this erases the direct kernel's FLOP edge over the
+    lane-packed XLA path exactly: 128-multiple/(3*Cin) == 2T/3 at T=128/C."""
+    lanes = (t + 2) * c_in
+    return -(-lanes // 128) * 128
+
+
 def toeplitz_weights(w: jax.Array, t: int) -> jax.Array:
-    """[3,3,3,Cin,Cout] -> [9, (T+2)*Cin, T*Cout]; B[3a+b][u,t] = w[a,b,u-t]."""
+    """[3,3,3,Cin,Cout] -> [9, pad((T+2)*Cin), T*Cout]; B[3a+b][u,t] = w[a,b,u-t]."""
     c_in, c_out = w.shape[3], w.shape[4]
     e = np.zeros((t + 2, 3, t), np.float32)
     for u in range(t + 2):
@@ -48,16 +56,22 @@ def toeplitz_weights(w: jax.Array, t: int) -> jax.Array:
                 e[u, u - tt, tt] = 1.0
     e = jnp.asarray(e, w.dtype)
     b = jnp.einsum("abdio,udt->abuito", w, e)  # [3,3,T+2,Cin,T,Cout]
-    return b.reshape(9, (t + 2) * c_in, t * c_out)
+    b = b.reshape(9, (t + 2) * c_in, t * c_out)
+    pad = _padded_lanes(t, c_in) - (t + 2) * c_in
+    return jnp.pad(b, ((0, 0), (0, pad), (0, 0))) if pad else b
 
 
 def tile_input(x: jax.Array, t: int) -> jax.Array:
-    """[N,D,H,W,Cin] -> overlapping W-tiles [N,D+2,H+2,nW,(T+2)*Cin]."""
+    """[N,D,H,W,Cin] -> overlapping W-tiles [N,D+2,H+2,nW,pad((T+2)*Cin)]."""
     n, d, h, wd, c = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     tiles = [xp[:, :, :, j * t:j * t + t + 2, :] for j in range(wd // t)]
     xt = jnp.stack(tiles, axis=3)  # [N, D+2, H+2, nW, T+2, Cin]
-    return xt.reshape(n, d + 2, h + 2, wd // t, (t + 2) * c)
+    xt = xt.reshape(n, d + 2, h + 2, wd // t, (t + 2) * c)
+    pad = _padded_lanes(t, c) - (t + 2) * c
+    if pad:
+        xt = jnp.pad(xt, ((0, 0),) * 4 + ((0, pad),))
+    return xt
 
 
 def _kernel(xt_hbm, b_ref, out_ref, slab, sems, *, h: int, n_w: int,
@@ -96,7 +110,10 @@ def _kernel(xt_hbm, b_ref, out_ref, slab, sems, *, h: int, n_w: int,
             part = jnp.dot(lhs, b_ref[a * 3 + bb],
                            preferred_element_type=jnp.float32)
             acc = part if acc is None else acc + part
-    out_ref[0, 0] = acc.reshape(h, n_w * t, c_out).astype(out_dtype)
+    # Keep the packed [H, nW, T*Cout] layout (lane dim stays 128): Mosaic
+    # cannot retile a 128-lane vector down to Cout lanes in-register; the
+    # unpack to [H, W, Cout] is a contiguous XLA reshape outside the kernel.
+    out_ref[0, 0] = acc.reshape(h, n_w, t * c_out).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -106,7 +123,7 @@ def _pallas_conv_fwd(xt: jax.Array, b: jax.Array,
     n_w = wd // t
     kern = functools.partial(_kernel, h=h, n_w=n_w, t=t, c_out=c_out,
                              out_dtype=xt.dtype)
-    slab_shape = (2, 3, h + 2, n_w, (t + 2) * (xt.shape[-1] // (t + 2)))
+    slab_shape = (2, 3, h + 2, n_w, xt.shape[-1])
     return pl.pallas_call(
         kern,
         grid=(n, d),
@@ -115,11 +132,11 @@ def _pallas_conv_fwd(xt: jax.Array, b: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # Toeplitz weights
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, h, wd, c_out),
+            (1, 1, h, n_w, t * c_out),
             lambda i, j: (i, j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, d, h, wd, c_out), xt.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, d, h, n_w, t * c_out), xt.dtype),
         scratch_shapes=[
             pltpu.VMEM(slab_shape, xt.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -143,7 +160,9 @@ def _run(x, w, t):
     c_out = w.shape[4]
     xt = tile_input(x, t)
     b = toeplitz_weights(w, t)
-    return _pallas_conv_fwd(xt, b, (n, d, h, wd, c_out, t))
+    y = _pallas_conv_fwd(xt, b, (n, d, h, wd, c_out, t))
+    # [N, D, H, nW, T*Cout] -> [N, D, H, W, Cout] (contiguous unpack).
+    return y.reshape(n, d, h, wd, c_out)
 
 
 def _fwd(x, w, t):

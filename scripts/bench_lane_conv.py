@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gan3d_tpu.ops import lane_conv
+from gan3d_tpu.ops import lane_conv, pallas_conv
 
 
 def plain(x, w):
@@ -68,14 +68,21 @@ def main():
         if t is not None:
             variants["k2"] = lambda x, w, t=t: lane_conv.lane_conv3d(x, w, t, "k2")
             variants["k3"] = lambda x, w, t=t: lane_conv.lane_conv3d(x, w, t, "k3")
+            variants["pl"] = lambda x, w, t=t: pallas_conv.pallas_conv3d(x, w, t)
         row = {"shape": f"{c}ch@{s}^3", "T": t}
         for name, f in variants.items():
             dt_fwd = time_fn(f, (x, w), a.iters)
-            # fwd+bwd: grads wrt both args through a scalar reduction
+            # fwd+bwd: grads wrt both args through a scalar reduction.
+            # Return a value depending on BOTH grads so neither is DCE'd.
             def loss(x, w, f=f):
                 return jnp.sum(f(x, w).astype(jnp.float32))
             g = jax.grad(loss, argnums=(0, 1))
-            dt_bwd = time_fn(lambda x, w: g(x, w)[0], (x, w), a.iters)
+
+            def both(x, w, g=g):
+                gx, gw = g(x, w)
+                return gx + jnp.sum(gw.astype(jnp.float32)).astype(gx.dtype)
+
+            dt_bwd = time_fn(both, (x, w), a.iters)
             row[f"{name}_fwd_tflops"] = round(useful / dt_fwd / 1e12, 1)
             row[f"{name}_fwdbwd_tflops"] = round(3 * useful / dt_bwd / 1e12, 1)
             row[f"{name}_fwd_ms"] = round(dt_fwd * 1e3, 2)
@@ -87,7 +94,7 @@ def main():
                    key=lambda n: r[f"{n}_fwd_tflops"])
         print(f"  {r['shape']:>10} T={r['T']}: " + "  ".join(
             f"{n}={r.get(f'{n}_fwd_tflops', '-')}/{r.get(f'{n}_fwdbwd_tflops', '-')}"
-            for n in ("xla", "k2", "k3")) + f"  best={best}", flush=True)
+            for n in ("xla", "k2", "k3", "pl")) + f"  best={best}", flush=True)
 
 
 if __name__ == "__main__":

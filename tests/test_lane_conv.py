@@ -62,6 +62,51 @@ def test_grad_parity(variant):
                                rtol=5e-4, atol=5e-5)
 
 
+def test_hybrid_parity():
+    """hybrid_conv3d (plain fwd, lane-packed dx): value is the plain conv
+    by construction; custom-VJP grads must match plain autodiff."""
+    rng = np.random.default_rng(3)
+    for cin, cout, t in [(16, 16, 8), (32, 32, 4), (24, 48, 2)]:
+        x = jnp.asarray(rng.normal(size=(2, 4, 4, 8, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(lane_conv.hybrid_conv3d(x, w, t)),
+            np.asarray(_plain(x, w)))
+
+        def loss_plain(x, w):
+            return jnp.sum(jnp.tanh(_plain(x, w)))
+
+        def loss_h(x, w, t=t):
+            return jnp.sum(jnp.tanh(lane_conv.hybrid_conv3d(x, w, t)))
+
+        gx_r, gw_r = jax.grad(loss_plain, argnums=(0, 1))(x, w)
+        gx_h, gw_h = jax.grad(loss_h, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_h), np.asarray(gx_r),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(gw_h), np.asarray(gw_r),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_conv3d_dispatch_bwd_mode():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 32, 32)), jnp.float32)
+    old_mode, old_var = lane_conv._MODE, lane_conv._VARIANT
+    try:
+        lane_conv.set_lane_conv_mode("off")
+        ref = conv3d(x, w, 1, 1)
+        gr = jax.grad(lambda x: jnp.sum(jnp.tanh(conv3d(x, w, 1, 1))))(x)
+        lane_conv.set_lane_conv_mode("bwd")
+        assert lane_conv.lane_conv_mode() == "bwd"
+        got = conv3d(x, w, 1, 1)
+        gh = jax.grad(lambda x: jnp.sum(jnp.tanh(conv3d(x, w, 1, 1))))(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-5)
+    finally:
+        lane_conv.set_lane_conv_mode(old_mode, old_var)
+
+
 def test_pick_tile():
     assert lane_conv.pick_tile(32, 64) == 4
     assert lane_conv.pick_tile(64, 64) == 2

@@ -66,8 +66,10 @@ def test_toeplitz_structure():
     w = jnp.asarray(np.arange(3 * 3 * 3 * 2 * 2, dtype=np.float32)
                     .reshape(3, 3, 3, 2, 2))
     b = pallas_conv.toeplitz_weights(w, 4)
-    assert b.shape == (9, 6 * 2, 4 * 2)
+    # rows padded to the Mosaic 128-lane DMA alignment; tail must be zero
+    assert b.shape == (9, 128, 4 * 2)
     b = np.asarray(b)
+    assert (b[:, 6 * 2:, :] == 0).all()
     w_np = np.asarray(w)
     for ab in range(9):
         a, bb = divmod(ab, 3)

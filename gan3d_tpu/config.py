@@ -102,6 +102,11 @@ class Config:
                                  # force the rewrite / hybrid / plain paths.
                                  # Numerically equivalent modulo f32 summation
                                  # order; read at trace time.
+    fast_upconv: str = "auto"    # fused nearest-2x-upsample + k=3 conv in
+                                 # GBlockDeep (ops/upsample_conv.py): 3.375x
+                                 # fewer FLOPs at 8x wider output lanes.
+                                 # "auto" = on for TPU; "on"/"off" force.
+                                 # Same params/numerics (mod f32 order).
     # ---- multi-host (DCN) — no reference equivalent (SURVEY §2.2) ----
     distributed: bool = False    # call jax.distributed.initialize at startup
     coordinator_address: str = ""  # host:port of process 0 ("" = env/auto)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from gan3d_tpu.nn.layers import SNConv3d
 from gan3d_tpu.nn.norm import BatchNorm3d
 from gan3d_tpu.ops.conv3d import avg_pool3d, upsample_nearest3d
+from gan3d_tpu.ops.upsample_conv import fast_upconv_enabled
 
 Dtype = Any
 
@@ -55,11 +56,13 @@ class GBlockDeep(nn.Module):
         h = nn.relu(bn(hid, "bn2")(h, not train))
         if self.in_channels != self.out_channels:
             x = x[..., : self.out_channels]
+        fuse_up = self.upsample and fast_upconv_enabled()
         if self.upsample:
-            h = upsample_nearest3d(h, 2)
             x = upsample_nearest3d(x, 2)
-        h = SNConv3d(hid, kernel_size=3, padding=1, name="conv2", **kw)(
-            h, update_stats)
+            if not fuse_up:
+                h = upsample_nearest3d(h, 2)
+        h = SNConv3d(hid, kernel_size=3, padding=1, name="conv2",
+                     fuse_upsample=fuse_up, **kw)(h, update_stats)
         h = nn.relu(bn(hid, "bn3")(h, not train))
         h = SNConv3d(hid, kernel_size=3, padding=1, name="conv3", **kw)(
             h, update_stats)

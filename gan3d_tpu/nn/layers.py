@@ -30,7 +30,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from gan3d_tpu.ops.conv3d import conv3d, conv_transpose3d
+from gan3d_tpu.ops.conv3d import _triple, conv3d, conv_transpose3d
+from gan3d_tpu.ops.upsample_conv import (
+    fast_upconv_variant,
+    upsample_conv3d,
+    upsample_conv3d_tconv,
+)
 
 Dtype = Any
 IntOr3 = Union[int, Sequence[int]]
@@ -222,6 +227,9 @@ class SNConv3d(nn.Module, _SpectralState):
     dilation: IntOr3 = 1
     use_bias: bool = True
     plain: bool = False
+    fuse_upsample: bool = False  # fused nearest-2x-up + conv (k=3/s=1/p=1
+    #                              only); params identical to the unfused
+    #                              layer — see ops/upsample_conv.py
     kernel_init: Optional[Callable] = None
     bias_init: Optional[Callable] = None
     dtype: Optional[Dtype] = None
@@ -244,8 +252,16 @@ class SNConv3d(nn.Module, _SpectralState):
                 self.features, -1)
             kernel = self._sn_weight(kernel, w_mat, update_stats)
         dtype = self.dtype or x.dtype
-        y = conv3d(x.astype(dtype), kernel.astype(dtype), self.stride,
-                   self.padding, self.dilation)
+        if self.fuse_upsample:
+            assert k == (3, 3, 3) and _triple(self.stride) == (1, 1, 1) \
+                and _triple(self.padding) == (1, 1, 1), \
+                "fuse_upsample requires k=3, stride 1, padding 1"
+            fused = (upsample_conv3d_tconv if fast_upconv_variant() == "tconv"
+                     else upsample_conv3d)
+            y = fused(x.astype(dtype), kernel.astype(dtype))
+        else:
+            y = conv3d(x.astype(dtype), kernel.astype(dtype), self.stride,
+                       self.padding, self.dilation)
         if self.use_bias:
             binit = self.bias_init or _uniform(1.0 / fan_in ** 0.5)
             bias = self.param("bias", binit, (self.features,), self.param_dtype)

@@ -14,6 +14,7 @@ from gan3d_tpu.ops.conv3d import (
     upsample_nearest3d,
     upsample_trilinear3d,
 )
+from gan3d_tpu.ops.upsample_conv import upsample_conv3d
 
 __all__ = [
     "conv3d",
@@ -23,4 +24,5 @@ __all__ = [
     "global_sum_pool",
     "upsample_nearest3d",
     "upsample_trilinear3d",
+    "upsample_conv3d",
 ]

@@ -62,7 +62,9 @@ class Trainer:
         # Lane-packed narrow-conv rewrite (ops/lane_conv.py) — set before any
         # model tracing; the flag is read at trace time.
         from gan3d_tpu.ops.lane_conv import set_lane_conv_mode
+        from gan3d_tpu.ops.upsample_conv import set_fast_upconv_mode
         set_lane_conv_mode(cfg.fast_conv)
+        set_fast_upconv_mode(cfg.fast_upconv)
 
         if cfg.resolution >= 128 and not cfg.remat:
             print("hint: at 128^3+, --remat=True --fused_step=False is "

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gan3d_tpu.nn.blocks import DBlockDeep, GBlockDeep
-from gan3d_tpu.ops import lane_conv
+from gan3d_tpu.ops import lane_conv, upsample_conv
 
 
 def time_fn(f, args, iters, warmup=3):
@@ -80,6 +80,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--skip_lane", action="store_true",
+                    help="only run the fast_upconv section")
     a = ap.parse_args()
     print(f"# backend={jax.default_backend()} batch={a.batch}", flush=True)
 
@@ -90,6 +92,8 @@ def main():
         ("D 64ch@64^3 down", DBlockDeep, 64, 128, 64, dict(downsample=True)),
         ("D 64ch@32^3", DBlockDeep, 64, 64, 32, {}),
     ]
+    if a.skip_lane:
+        cases = []
     for name, cls, cin, cout, size, kw in cases:
         row = {"case": name}
         for mode in ("off", "on", "bwd"):
@@ -102,6 +106,29 @@ def main():
             row[f"{m}_speedup"] = round(
                 row["off_fwdbwd_ms"] / row[f"{m}_fwdbwd_ms"], 2)
         print(row, flush=True)
+    lane_conv.set_lane_conv_mode("off")
+
+    # fused upsample+conv A/B (ops/upsample_conv.py) on the G up-blocks
+    print("# fast_upconv A/B (lane_conv off)", flush=True)
+    up_cases = [
+        ("G in128@16^3 up", 128, 64, 16),
+        ("G in128@32^3 up", 128, 64, 32),
+        ("G in64@32^3 up", 64, 32, 32),
+    ]
+    for name, cin, cout, size in up_cases:
+        row = {"case": name}
+        for mode in ("off", "on", "tconv"):
+            upsample_conv.set_fast_upconv_mode(mode)
+            jax.clear_caches()
+            f, b = bench_block(GBlockDeep, cin, cout, size, a.batch,
+                               a.iters, upsample=True)
+            row[f"{mode}_fwd_ms"] = round(f, 2)
+            row[f"{mode}_fwdbwd_ms"] = round(b, 2)
+        for m in ("on", "tconv"):
+            row[f"{m}_speedup"] = round(
+                row["off_fwdbwd_ms"] / row[f"{m}_fwdbwd_ms"], 2)
+        print(row, flush=True)
+    upsample_conv.set_fast_upconv_mode("auto")
     lane_conv.set_lane_conv_mode("auto")
 
 

@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from gan3d_tpu.data.datasets import open_dataset
+from gan3d_tpu.utils.platform import enable_compile_cache
 from gan3d_tpu.data.loader import Loader
 from gan3d_tpu.eval import metrics as M
 from gan3d_tpu.eval.fid_resnet import get_fid_model
@@ -92,6 +93,7 @@ def main(argv=None) -> None:
                         help="Inception weights for slice FID; '' = random "
                              "feature stand-in")
     params = parser.parse_args(argv)
+    enable_compile_cache()
     if params.fid_checkpoint and not os.path.isfile(params.fid_checkpoint):
         print(f"warning: {params.fid_checkpoint} not found — using "
               "randomly-initialized FID features", flush=True)

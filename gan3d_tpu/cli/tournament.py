@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from gan3d_tpu.data.datasets import open_dataset
+from gan3d_tpu.utils.platform import enable_compile_cache
 from gan3d_tpu.data.loader import Loader
 from gan3d_tpu.eval.load import load_run, make_discriminator_fn, make_sampler
 from gan3d_tpu.parallel.mesh import make_mesh
@@ -102,6 +103,7 @@ def main(argv=None) -> None:
     p.add_argument("-l", "--model_log", action="append", type=str,
                    required=True)
     params = p.parse_args(argv)
+    enable_compile_cache()
 
     dataset = open_dataset(params.data_path)
     print(len(dataset))

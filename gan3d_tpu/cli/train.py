@@ -9,12 +9,13 @@ from __future__ import annotations
 
 from gan3d_tpu.config import config_from_args
 from gan3d_tpu.data.datasets import open_dataset
-from gan3d_tpu.utils.platform import force_platform
+from gan3d_tpu.utils.platform import enable_compile_cache, force_platform
 
 
 def main(argv=None) -> None:
     cfg = config_from_args(argv)
     force_platform(cfg.platform)
+    enable_compile_cache()
     from gan3d_tpu.parallel.mesh import init_distributed
 
     init_distributed(cfg)

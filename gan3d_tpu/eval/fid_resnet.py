@@ -147,11 +147,16 @@ def get_fid_model(path: Optional[str] = None):
         variables = model.init(jax.random.key(0),
                                jnp.zeros((1, 32, 32, 32, 1)))
 
+    # Weights as a jit ARGUMENT (a closure capture would embed them as HLO
+    # constants and overflow the axon remote-compile request at scale).
     @jax.jit
+    def _features(v, x: jax.Array) -> jax.Array:
+        fmap = model.apply(v, x)
+        return jnp.mean(fmap, axis=(1, 2, 3))
+
     def features(x: jax.Array) -> jax.Array:
         """Volume [N, D, H, W, 1] -> pooled features [N, 2048]
         (reference eval_utils.py:43-44 mean over spatial dims)."""
-        fmap = model.apply(variables, x)
-        return jnp.mean(fmap, axis=(1, 2, 3))
+        return _features(variables, x)
 
     return model, variables, features

@@ -226,8 +226,8 @@ class InceptionV3Features:
         else:
             self.variables = self.model.init(
                 jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
-        self._apply = jax.jit(
-            lambda x: self.model.apply(self.variables, x))
+        # weights as jit argument, not closure (HLO-constant bloat otherwise)
+        self._apply = jax.jit(lambda v, x: self.model.apply(v, x))
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        return self._apply(x)
+        return self._apply(self.variables, x)

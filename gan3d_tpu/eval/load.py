@@ -72,15 +72,18 @@ def make_sampler(cfg: Config, G, g_vars, mesh=None):
     (tournament at 128^3 across a DP TPU mesh).
     """
     rngs_needed = cfg.family() in ("stylegan2", "stylegan")
+    mut = [k for k in g_vars if k != "params"]
 
-    def sample_impl(z: jax.Array) -> jax.Array:
-        mut = [k for k in g_vars if k != "params"]
+    # NB: weights are an ARGUMENT of the jitted fn, not a closure capture —
+    # closed-over arrays become HLO constants, and at 128^3 the embedded
+    # weights overflow the axon remote-compile request (HTTP 413).
+    def sample_impl(gv, z: jax.Array) -> jax.Array:
         rngs = None
         if rngs_needed:
             stream = "noise" if cfg.family() == "stylegan2" else "mixing"
             rngs = {stream: jax.random.key(0)}
-        out = G.apply(g_vars, z, train=True, mutable=mut, rngs=rngs) if mut \
-            else (G.apply(g_vars, z, train=True, rngs=rngs), None)
+        out = G.apply(gv, z, train=True, mutable=mut, rngs=rngs) if mut \
+            else (G.apply(gv, z, train=True, rngs=rngs), None)
         fake = out[0]
         if isinstance(fake, tuple):  # stylegan2 returns (img, ws)
             fake = fake[0]
@@ -88,31 +91,38 @@ def make_sampler(cfg: Config, G, g_vars, mesh=None):
 
     rep, batch = _shardings(mesh)
     if mesh is None:
-        return jax.jit(sample_impl)
-    jitted = jax.jit(sample_impl, in_shardings=batch, out_shardings=batch)
+        jitted = jax.jit(sample_impl)
+        return lambda z: jitted(g_vars, z)
+    jitted = jax.jit(sample_impl, in_shardings=(rep, batch),
+                     out_shardings=batch)
+    gv_dev = jax.device_put(g_vars, rep)
 
     def sample(z):
-        return jitted(jax.device_put(jnp.asarray(z), batch))
+        return jitted(gv_dev, jax.device_put(jnp.asarray(z), batch))
 
     return sample
 
 
 def make_discriminator_fn(cfg: Config, D, d_vars, mesh=None):
-    def score_impl(x: jax.Array) -> jax.Array:
-        mut = [k for k in d_vars if k != "params"]
+    mut = [k for k in d_vars if k != "params"]
+
+    def score_impl(dv, x: jax.Array) -> jax.Array:
         rngs = {"crops": jax.random.key(0)} if cfg.msl else None
         if mut:
-            out, _ = D.apply(d_vars, x, mutable=mut, rngs=rngs)
+            out, _ = D.apply(dv, x, mutable=mut, rngs=rngs)
         else:
-            out = D.apply(d_vars, x, rngs=rngs)
+            out = D.apply(dv, x, rngs=rngs)
         return out.astype(jnp.float32)
 
     rep, batch = _shardings(mesh)
     if mesh is None:
-        return jax.jit(score_impl)
-    jitted = jax.jit(score_impl, in_shardings=batch, out_shardings=batch)
+        jitted = jax.jit(score_impl)
+        return lambda x: jitted(d_vars, x)
+    jitted = jax.jit(score_impl, in_shardings=(rep, batch),
+                     out_shardings=batch)
+    dv_dev = jax.device_put(d_vars, rep)
 
     def score(x):
-        return jitted(jax.device_put(jnp.asarray(x), batch))
+        return jitted(dv_dev, jax.device_put(jnp.asarray(x), batch))
 
     return score

@@ -75,7 +75,8 @@ class SliceFID:
             model = RandomConvFeatures2D()
             variables = model.init(jax.random.key(0),
                                    jnp.zeros((1, 8, 8, 3)))
-            self._features = jax.jit(lambda x: model.apply(variables, x))
+            jitted = jax.jit(lambda v, x: model.apply(v, x))
+            self._features = lambda x: jitted(variables, x)
 
     def _acts(self, slices: jax.Array) -> np.ndarray:
         outs = []

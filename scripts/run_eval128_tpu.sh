@@ -27,11 +27,13 @@ EOF
 #    the working 128^3 single-chip config, CLAUDE.md), then fan the
 #    checkpoint out to the seed dirs eval/tournament expect (path+0/1/2).
 if [ ! -d runA0 ]; then
-  time python -m gan3d_tpu.cli.train --data_path=train128.npz \
+  TT=$(date +%s)
+  python -m gan3d_tpu.cli.train --data_path=train128.npz \
     --biggan=True --hinge=True --resolution=128 --niters=3 --batch_size=2 \
     --filterG=64 --filterD=64 --z_size=512 --remat=True --fused_step=False \
     --steps_per_log=1 --steps_per_img_log=1000 --fid_in_loop=False \
     --log_dir=runA0
+  echo "train 3-iter wall-clock: $(( $(date +%s) - TT ))s"
   for d in runA1 runA2 runB0 runB1 runB2; do cp -r runA0 "$d"; done
 fi
 
@@ -39,11 +41,15 @@ fi
 #    random-feature stand-ins when weight files are absent — the wall-clock
 #    and memory behavior at scale is what this run measures).
 echo "=== eval 128^3 ==="
-time python -m gan3d_tpu.cli.eval -l runA --data_path=test128.npz \
+T0=$(date +%s)
+python -m gan3d_tpu.cli.eval -l runA --data_path=test128.npz \
   --batch_size=4 --n_seeds=3 --log_dir=eval_out --fid_checkpoint=
 
 # 4. tournament at 128^3 between the two models.
+echo "eval wall-clock: $(( $(date +%s) - T0 ))s"
 echo "=== tournament 128^3 ==="
-time python -m gan3d_tpu.cli.tournament -l runA -l runB \
+T1=$(date +%s)
+python -m gan3d_tpu.cli.tournament -l runA -l runB \
   --data_path=test128.npz --batch_size=4 --n_seeds=3 --log_dir=tourn_out
+echo "tournament wall-clock: $(( $(date +%s) - T1 ))s"
 echo "ALL DONE"

@@ -26,7 +26,10 @@ import jax
 import jax.numpy as jnp
 
 _CHUNK = 1024
-_PALLAS_MIN_L = 8192
+# Pallas wins from the D-block placement up (L=4096, pooled kv=512:
+# 4.1 ms fwd+bwd vs einsum 6.2 / chunked 9.3 at batch 16 —
+# scripts/bench_attention.py; at the G placement L=32768 it is 3.4-5x).
+_PALLAS_MIN_L = 4096
 
 
 def attention_einsum(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:

@@ -103,10 +103,18 @@ class Config:
                                  # Numerically equivalent modulo f32 summation
                                  # order; read at trace time.
     fast_upconv: str = "auto"    # fused nearest-2x-upsample + k=3 conv in
-                                 # GBlockDeep (ops/upsample_conv.py): 3.375x
-                                 # fewer FLOPs at 8x wider output lanes.
-                                 # "auto" = on for TPU; "on"/"off" force.
-                                 # Same params/numerics (mod f32 order).
+                                 # GBlockDeep (ops/upsample_conv.py): "auto"
+                                 # = the measured TPU winner ("tconv", one
+                                 # stride-2 transposed conv, +20-25%/block);
+                                 # "on"/"tconv"/"off" force. Same params /
+                                 # numerics (mod f32 order).
+    wire_dtype: str = "auto"     # host->device dtype for real batches:
+                                 # "auto" = compute_dtype when numerically
+                                 # free (the step casts at the first conv;
+                                 # forced to f32 while gp_weight > 0, whose
+                                 # input interpolation is f32), or
+                                 # "float32"/"bfloat16" to force. Halves
+                                 # tunnel upload bytes on TPU.
     # ---- multi-host (DCN) — no reference equivalent (SURVEY §2.2) ----
     distributed: bool = False    # call jax.distributed.initialize at startup
     coordinator_address: str = ""  # host:port of process 0 ("" = env/auto)

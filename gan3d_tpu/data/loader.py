@@ -122,3 +122,65 @@ class Loader:
         for s in self._stops:
             s.set()
         self._stops.clear()
+
+
+class DevicePrefetcher:
+    """Double-buffered host->device upload of training batches.
+
+    On the axon tunnel, a 33 MB f32 batch pair costs ~1.2 s to land on the
+    device — longer than the 64^3 flagship's whole 0.85 s train step. This
+    worker thread stacks ``iterD`` batches, optionally casts them to the
+    wire dtype, and issues ``put_fn`` (device_put / put_global_batch) one
+    step ahead, so the upload overlaps the previous step's compute.
+
+    ``get()`` returns ``(device_batch, last_host_batch_f32)`` — the host
+    copy of the final sub-batch is kept for in-loop slice FID logging.
+
+    Shutdown follows the Loader.infinite contract: every blocking queue op
+    is bounded by a timeout + stop-flag check; ``close()`` joins the thread.
+    """
+
+    def __init__(self, gen: Iterator[np.ndarray], iter_d: int, put_fn,
+                 wire_dtype=None, depth: int = 2):
+        self._gen = gen
+        self._iter_d = iter_d
+        self._put = put_fn
+        self._wire = wire_dtype
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+        self._t = threading.Thread(target=self._producer, daemon=True)
+        self._t.start()
+
+    def _producer(self) -> None:
+        try:
+            while not self._stop.is_set():
+                reals = np.stack([next(self._gen)
+                                  for _ in range(self._iter_d)])[..., None]
+                host_last = reals[-1]
+                wire = reals if self._wire is None \
+                    else reals.astype(self._wire)
+                item = (self._put(wire), host_last)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — surfaced in get()
+            self._err = e
+
+    def get(self):
+        while True:
+            try:
+                return self._q.get(timeout=5.0)
+            except queue.Empty:
+                if self._err is not None:
+                    raise RuntimeError("DevicePrefetcher producer failed") \
+                        from self._err
+                if not self._t.is_alive():
+                    raise RuntimeError("DevicePrefetcher thread died")
+
+    def close(self) -> None:
+        self._stop.set()
+        self._t.join(timeout=2.0)

@@ -35,7 +35,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gan3d_tpu.config import Config
-from gan3d_tpu.data.loader import Loader
+from gan3d_tpu.data.loader import DevicePrefetcher, Loader
 from gan3d_tpu.models import build_models
 from gan3d_tpu.parallel.mesh import make_mesh
 from gan3d_tpu.train.checkpoint import CheckpointManager
@@ -344,30 +344,50 @@ class Trainer:
         return step
 
     # ------------------------------------------------------------------
+    def _wire_dtype(self):
+        """Numpy dtype for batch upload, or None to keep float32."""
+        w = self.cfg.wire_dtype
+        if w == "float32":
+            return None
+        if w == "bfloat16":
+            return jnp.bfloat16
+        # auto: ship in compute dtype when that is numerically free — the
+        # step casts reals at the first conv anyway; only the WGAN-GP input
+        # interpolation consumes them in f32.
+        if self.cfg.gp_weight:
+            return None
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
+
     def train(self) -> None:
         cfg = self.cfg
         step_done = self.start_from_checkpoint()
         gen = self.loader.infinite()
+        if self._n_proc == 1:
+            put = lambda arr: jax.device_put(arr, self._batch_in)  # noqa: E731
+        else:
+            from gan3d_tpu.parallel.mesh import put_global_batch
+
+            put = lambda arr: put_global_batch(  # noqa: E731
+                self.mesh, arr, P(None, "data"))
+        prefetch = DevicePrefetcher(gen, cfg.iterD, put,
+                                    wire_dtype=self._wire_dtype())
         print("Starting Training...", flush=True)
         t0 = time.time()
         fake = real = None
         for i in range(step_done, cfg.niters):
             self.profiler.step(i)
             self.energy.epoch_start()
-            reals = np.stack([next(gen) for _ in range(cfg.iterD)])[..., None]
-            if self._n_proc == 1:
-                reals_dev = jax.device_put(reals, self._batch_in)
-            else:
-                from gan3d_tpu.parallel.mesh import put_global_batch
-
-                reals_dev = put_global_batch(self.mesh, reals,
-                                             P(None, "data"))
+            reals_dev, real_host = prefetch.get()
             self.state, metrics, fake = self._step(self.state, reals_dev,
                                                    self._base_key, i)
             self._pending.append(metrics)  # device arrays; sync at log time
             self.energy.epoch_end()
-            real = reals[-1]
+            real = real_host
             self.log(i, fake, real)
+            if i == step_done:
+                # the step-0 log above flushed metrics (a device sync), so
+                # everything before this point is compile + first step.
+                t_first = time.time()
             if i % cfg.steps_per_ckpt == 0 and i > 0:
                 vals = [v for v in self.fid if not np.isnan(v)]
                 self.fid_epoch.append(float(np.mean(vals)) if vals
@@ -375,20 +395,29 @@ class Trainer:
                 self.fid = []
                 self.save_checkpoint(i)
         # final log + checkpoint (reference trainer.py:172-175, 312)
+        prefetch.close()
         gen.close()
         self.loader.close()  # stop the prefetch producer thread promptly
         i = cfg.niters - 1
         self.profiler.close()
         self.energy.write(self.log_dir)
         self.log_train(i, fake, real)
+        t_last_sync = time.time()  # all steps' compute synced at this point
         self.log_interpolation(i)
         self.save_checkpoint(i)
         self.ckpt.wait()
         dt = time.time() - t0
         n_steps = cfg.niters - step_done
         if n_steps > 0:
-            print(f"...Done ({n_steps} steps in {dt:.1f}s, "
-                  f"{n_steps / dt:.2f} steps/s)", flush=True)
+            msg = (f"...Done ({n_steps} steps in {dt:.1f}s, "
+                   f"{n_steps / dt:.2f} steps/s")
+            if n_steps > 1:
+                # steady-state rate excluding compile+first step (the final
+                # log_train above synced the last step's metrics).
+                steady = (n_steps - 1) / max(t_last_sync - t_first, 1e-9)
+                msg += (f"; steady {steady:.2f} steps/s = "
+                        f"{steady * cfg.batch_size:.1f} vol/s")
+            print(msg + ")", flush=True)
 
 
 def _apply_g(G, family: str, state: TrainState, noise: jax.Array,

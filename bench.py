@@ -171,9 +171,10 @@ def main() -> None:
         "value": round(vps, 3),
         "unit": "volumes/sec/chip",
     }
-    # the measured baseline is the biggan flagship config; other families
-    # have no reference measurement to divide by.
-    out["vs_baseline"] = (round(vps / baseline, 3) if a.family == "biggan"
+    # the measured baseline is the biggan flagship config at 64^3; other
+    # families/resolutions have no reference measurement to divide by.
+    out["vs_baseline"] = (round(vps / baseline, 3)
+                          if a.family == "biggan" and a.resolution == 64
                           else None)
     print(json.dumps(out))
 

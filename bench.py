@@ -63,7 +63,7 @@ class _ZeroDataset:
 def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
             filters: int = 64, remat: bool = False, channel_ratio: int = 4,
             family: str = "biggan", fused: bool = True,
-            fast_conv: str = "auto") -> float:
+            fast_conv: str = "auto", remat_scope: str = "block") -> float:
     import tempfile
 
     import jax
@@ -76,6 +76,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
               else {"biggan": True, "hinge": True})
     cfg = Config(resolution=resolution, filterG=filters, filterD=filters,
                  z_size=512, batch_size=batch_size, iterD=2, remat=remat,
+                 remat_scope=remat_scope,
                  channel_ratio=channel_ratio, fused_step=fused,
                  fast_conv=fast_conv, fid_in_loop=False,
                  log_dir=tempfile.mkdtemp(prefix="bench_"),
@@ -126,6 +127,11 @@ def main() -> None:
     p.add_argument("--fast_conv", default="auto",
                    choices=["auto", "on", "off"],
                    help="lane-packed narrow-conv rewrite (ops/lane_conv.py)")
+    p.add_argument("--remat", default="auto",
+                   help="True/False force remat; auto = per-batch ladder")
+    p.add_argument("--remat_scope", default="block",
+                   choices=["block", "stage"],
+                   help="remat granularity (config.remat_scope)")
     p.add_argument("--channel_ratio", type=int, default=4,
                    help="bottleneck shrink (4 = reference; smaller = wider "
                         "hidden convs, better MXU utilization)")
@@ -141,14 +147,20 @@ def main() -> None:
         warmup = 2 if a.quick else 3
 
     if a.batch:
-        candidates = [(a.batch, False), (a.batch, True)]
+        if str(a.remat).lower() in ("1", "true", "yes"):
+            candidates = [(a.batch, True)]
+        elif str(a.remat).lower() in ("0", "false", "no"):
+            candidates = [(a.batch, False)]
+        else:
+            candidates = [(a.batch, False), (a.batch, True)]
     else:
         candidates = [(16, False), (16, True), (8, False), (4, False)]
     vps, used = None, None
     for b, remat in candidates:
         try:
             vps = measure(b, iters, warmup, a.resolution, a.filters, remat,
-                          a.channel_ratio, a.family, fused, a.fast_conv)
+                          a.channel_ratio, a.family, fused, a.fast_conv,
+                          a.remat_scope)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback

@@ -58,11 +58,32 @@ class Config:
     resolution: int = 128       # output volume side; reference hardcodes 128
     seed: int = 0               # base PRNG seed (reference samples ad hoc)
     num_devices: int = 0        # devices for data parallelism; 0 = all
+    spatial_devices: int = 1    # >1: 2-D (data, space) mesh — the volume
+                                # depth axis is sharded over `space` and XLA
+                                # GSPMD inserts conv halo exchanges (the
+                                # volumetric analog of context parallelism,
+                                # SURVEY §5.7). Lets volumes whose
+                                # activations exceed one chip's HBM (256^3+,
+                                # or 128^3 without remat) train across
+                                # chips. resolution must divide by it;
+                                # attention lowers through XLA (not Pallas)
+                                # in this mode.
     sync_bn: bool = True        # cross-replica BN stats (reference DataParallel
                                 # computes BN per replica; see SURVEY §5.8)
     compute_dtype: str = "bfloat16"  # bf16 compute replaces CUDA AMP
     param_dtype: str = "float32"
     remat: bool = False         # jax.checkpoint per block (memory at 128^3)
+    remat_scope: str = "block"  # remat granularity for the biggan family:
+                                # "block" = one jax.checkpoint per deep
+                                # block; "stage" = per doubled-block stage,
+                                # with the G out-head and D input-conv
+                                # folded into their neighboring stage —
+                                # same recompute FLOPs (everything is
+                                # recomputed exactly once either way) but
+                                # far smaller saved-boundary memory: the
+                                # 128^3 64-ch head input (268 MB/sample
+                                # bf16) stops being a checkpoint residual.
+                                # Unlocks larger batches at 128^3.
     steps_per_ckpt: int = 100   # reference checkpoints every 100 steps
     fid_in_loop: Optional[bool] = None  # in-loop axial slice FID every
                                 # steps_per_log (reference trainer.py:100-110

@@ -31,6 +31,21 @@ _CHUNK = 1024
 # scripts/bench_attention.py; at the G placement L=32768 it is 3.4-5x).
 _PALLAS_MIN_L = 4096
 
+# Global implementation override, read at TRACE time:
+#   None  — automatic per-shape choice (Pallas on TPU for large L)
+#   "xla" — automatic but never Pallas. Used under spatial (GSPMD) sharding:
+#           a Pallas custom call cannot be partitioned by XLA's SPMD
+#           partitioner, so spatially-sharded programs must lower attention
+#           through plain XLA ops (which GSPMD reshards freely).
+#   "einsum" / "chunked" / "pallas" — force that lowering everywhere.
+_FORCE_IMPL: Optional[str] = None
+
+
+def set_attention_impl(impl: Optional[str]) -> None:
+    global _FORCE_IMPL
+    assert impl in (None, "xla", "einsum", "chunked", "pallas"), impl
+    _FORCE_IMPL = impl
+
 
 def attention_einsum(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     scores = jnp.einsum("nqc,nkc->nqk", q, k,
@@ -65,8 +80,11 @@ def pooled_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      impl: Optional[str] = None) -> jax.Array:
     """softmax(Q K^T) V over pooled keys/values. q [N,L,c], k/v [N,M,c]."""
     n, L, c = q.shape
+    if impl is None and _FORCE_IMPL not in (None, "xla"):
+        impl = _FORCE_IMPL
     if impl is None:
-        on_tpu = jax.default_backend() not in ("cpu",)
+        on_tpu = (jax.default_backend() not in ("cpu",)
+                  and _FORCE_IMPL != "xla")
         if on_tpu and L >= _PALLAS_MIN_L and L % 256 == 0:
             impl = "pallas"
         elif L > 4 * _CHUNK and L % _CHUNK == 0:

@@ -9,15 +9,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def make_mesh(num_devices: int = 0,
-              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """1-D data-parallel mesh over the first `num_devices` devices (0 = all)."""
+              devices: Optional[Sequence[jax.Device]] = None,
+              spatial: int = 1) -> Mesh:
+    """Device mesh over the first `num_devices` devices (0 = all).
+
+    spatial == 1 (default): 1-D ("data",) data-parallel mesh.
+    spatial  > 1: 2-D ("data", "space") mesh — batches shard their leading
+    axis over "data" and the volume's depth axis over "space"; XLA's SPMD
+    partitioner inserts the conv halo exchanges (the volumetric analog of
+    context parallelism — SURVEY §5.7). Adjacent devices share a spatial
+    group so halo traffic rides neighboring ICI links.
+    """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices and num_devices > 0:
         devs = devs[:num_devices]
-    return Mesh(np.asarray(devs), (DATA_AXIS,))
+    if spatial <= 1:
+        return Mesh(np.asarray(devs), (DATA_AXIS,))
+    if len(devs) % spatial:
+        raise ValueError(
+            f"{len(devs)} devices not divisible by spatial={spatial}")
+    grid = np.asarray(devs).reshape(len(devs) // spatial, spatial)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

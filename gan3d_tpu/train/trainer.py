@@ -68,15 +68,27 @@ class Trainer:
 
         if cfg.resolution >= 128 and not cfg.remat:
             print("hint: at 128^3+, --remat=True --fused_step=False is "
-                  "usually required to fit HBM / the compiler "
-                  "(docs/PERF.md)", flush=True)
+                  "usually required to fit HBM / the compiler; add "
+                  "--remat_scope=stage for larger batches (docs/PERF.md)",
+                  flush=True)
 
         # --- mesh + models ---
-        self.mesh = make_mesh(cfg.num_devices)
+        self.mesh = make_mesh(cfg.num_devices, spatial=cfg.spatial_devices)
         ndev = len(self.mesh.devices.ravel())
-        if cfg.batch_size % ndev:
+        n_data = ndev // max(cfg.spatial_devices, 1)
+        if cfg.batch_size % n_data:
             raise ValueError(
-                f"batch_size {cfg.batch_size} not divisible by {ndev} devices")
+                f"batch_size {cfg.batch_size} not divisible by {n_data} "
+                f"data-parallel devices")
+        if cfg.spatial_devices > 1:
+            if cfg.resolution % cfg.spatial_devices:
+                raise ValueError(
+                    f"resolution {cfg.resolution} not divisible by "
+                    f"spatial_devices {cfg.spatial_devices}")
+            # A Pallas custom call cannot be partitioned by GSPMD: lower the
+            # attention through plain XLA ops in spatially-sharded programs.
+            from gan3d_tpu.ops.attention import set_attention_impl
+            set_attention_impl("xla")
         # Multi-host: each process feeds its slice of the global batch.
         self._n_proc = jax.process_count()
         self._local_batch = cfg.batch_size // self._n_proc
@@ -120,9 +132,13 @@ class Trainer:
         )
 
         # --- shardings + jitted programs ---
+        # With spatial_devices > 1 the volume depth axis additionally shards
+        # over "space" (reals are [iterD, N, D, H, W, 1]; fakes [N, D, H, W,
+        # 1]) and GSPMD inserts halo exchanges for every conv stencil.
+        sp = ("space",) if cfg.spatial_devices > 1 else ()
         rep = NamedSharding(self.mesh, P())
-        batch_in = NamedSharding(self.mesh, P(None, "data"))
-        batch_out = NamedSharding(self.mesh, P("data"))
+        batch_in = NamedSharding(self.mesh, P(None, "data", *sp))
+        batch_out = NamedSharding(self.mesh, P("data", *sp))
         self._rep = rep
         self._batch_in = batch_in
         self.state = jax.device_put(state, rep)
@@ -228,7 +244,8 @@ class Trainer:
                                     sample_key)
             return out, state.replace(g_state=g_state)
 
-        self._sample = jax.jit(sample_fn, in_shardings=(rep, batch_out),
+        noise_in = NamedSharding(self.mesh, P("data"))  # [B, z]: no space dim
+        self._sample = jax.jit(sample_fn, in_shardings=(rep, noise_in),
                                out_shardings=(batch_out, rep))
 
         # --- data (per-host slice of the global batch) ---

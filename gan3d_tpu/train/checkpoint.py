@@ -32,8 +32,14 @@ class CheckpointManager:
              ) -> None:
         self._mngr.save(step, args=ocp.args.StandardSave(state))
         if history is not None:
-            with open(os.path.join(self.dir, HISTORY_FILE), "w") as f:
-                json.dump(history, f)
+            import jax
+
+            # Multi-process: Orbax coordinates the pytree save internally
+            # (every process calls save with the same step); the JSON
+            # sidecar is plain file IO, so only the primary writes it.
+            if jax.process_index() == 0:
+                with open(os.path.join(self.dir, HISTORY_FILE), "w") as f:
+                    json.dump(history, f)
 
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()

@@ -278,6 +278,7 @@ class Trainer:
         warn-and-nan otherwise; True = force (random-feature stand-in when no
         weights); False = off."""
         mode = self.cfg.fid_in_loop
+        self._fid_active = False
         if mode is False:
             return lambda fake, real: float("nan")
         weights = self.cfg.inception_weights
@@ -293,6 +294,7 @@ class Trainer:
                 from gan3d_tpu.eval.slice_fid import SliceFID
 
                 sfid = SliceFID(weights_path=weights)
+                self._fid_active = True
                 return lambda fake, real: sfid.axial(fake, real)
             except Exception as e:  # noqa: BLE001 — bad weights file
                 print(f"in-loop FID disabled: {e}", flush=True)
@@ -301,6 +303,7 @@ class Trainer:
             from gan3d_tpu.eval.slice_fid import SliceFID
 
             sfid = SliceFID()
+            self._fid_active = True
             return lambda fake, real: sfid.axial(fake, real)
         print("in-loop FID: no Inception weights found (set "
               "cfg.inception_weights); logging FID as nan. The reference "
@@ -321,6 +324,15 @@ class Trainer:
                 "fid": self.fid_epoch}
 
     def log_train(self, step: int, fake, real) -> None:
+        if self._n_proc > 1 and self._fid_active and real is not None:
+            # Multi-host: the fid fn needs the full fake batch (sharded
+            # globally) and the full real batch (each process holds only
+            # its slice).
+            from jax.experimental import multihost_utils
+
+            fake = self._gather_global(fake)
+            real = multihost_utils.process_allgather(np.asarray(real),
+                                                     tiled=True)
         self.fid.append(self._fid_fn(fake, real))
         self._flush_pending()
         d_real, d_fake = self.D_losses[-1]
@@ -330,13 +342,29 @@ class Trainer:
 
     def log_interpolation(self, step: int) -> None:
         if self.fixed_test_noise is None:
-            self.fixed_test_noise = jax.device_put(
-                jax.random.normal(jax.random.fold_in(self._base_key, 0xF1),
-                                  (self.cfg.batch_size, self.cfg.z_size)),
-                NamedSharding(self.mesh, P("data")))
+            noise = np.asarray(jax.random.normal(
+                jax.random.fold_in(self._base_key, 0xF1),
+                (self.cfg.batch_size, self.cfg.z_size)))
+            sharding = NamedSharding(self.mesh, P("data"))
+            # make_array_from_callback is multi-process safe (each process
+            # contributes only its addressable shards); device_put with a
+            # global sharding is not.
+            self.fixed_test_noise = jax.make_array_from_callback(
+                noise.shape, sharding, lambda idx: noise[idx])
         fake, self.state = self._sample(self.state, self.fixed_test_noise)
-        save_volume_grid(os.path.join(self.images_dir, f"{step}.png"),
-                         np.asarray(jax.device_get(fake), np.float32))
+        fake = self._gather_global(fake)
+        if jax.process_index() == 0:
+            save_volume_grid(os.path.join(self.images_dir, f"{step}.png"),
+                             np.asarray(fake, np.float32))
+
+    def _gather_global(self, arr):
+        """Full array on every host: device_get locally, process_allgather
+        (a collective — every process must call it) on multi-host."""
+        if self._n_proc == 1:
+            return jax.device_get(arr)
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(arr, tiled=True)
 
     def log(self, step: int, fake, real) -> None:
         if step % self.cfg.steps_per_log == 0:

@@ -174,6 +174,20 @@ def test_spatial_dcgan_train(dataset16, tmp_path):
     assert np.isfinite(t.G_losses).all()
 
 
+def test_spatial_stylegan2_train(dataset16, tmp_path):
+    """StyleGAN2's synthesis (upfirdn lhs-dilated convs, modulated conv,
+    per-layer noise) + lazy-reg step builder under depth sharding."""
+    try:
+        t = Trainer(dataset16, _cfg(tmp_path, "sgsp", stylegan2=True,
+                                    filterG=64, filterD=64, iterD=1,
+                                    num_devices=4, spatial_devices=2))
+        t.train()
+    finally:
+        _reset_attention_impl()
+    assert np.isfinite(t.G_losses).all()
+    assert t.state.ema_params is not None
+
+
 def test_spatial_resolution_divisibility_raises(dataset16, tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         Trainer(dataset16, _cfg(tmp_path, "bad", dcgan=True,

@@ -135,9 +135,12 @@ class Discriminator(nn.Module):
         chans = synthesis_channels(self.cfg.filterD, res)
         block_res = [2 ** i for i in range(int(np.log2(res)), 2, -1)]
         x = None
+        # cfg.remat: checkpoint each block in backward (memory at 128^3).
+        DB = nn.remat(DiscriminatorBlock) if self.cfg.remat \
+            else DiscriminatorBlock
         for r in block_res:
             in_ch = chans[r] if r < res else 0
-            x, img = DiscriminatorBlock(
+            x, img = DB(
                 in_ch, chans[r], chans[r // 2], dtype=self.dtype,
                 name=f"b{r}")(x, img)
         return DiscriminatorEpilogue(chans[4], name="b4")(x)

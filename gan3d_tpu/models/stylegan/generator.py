@@ -99,6 +99,7 @@ class SynthesisNetwork(nn.Module):
     img_channels: int = 1
     channel_base: int = 4096
     channel_max: int = 512
+    remat: bool = False        # jax.checkpoint per block (memory at 128^3)
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -123,9 +124,13 @@ class SynthesisNetwork(nn.Module):
         ws = ws.astype(jnp.float32)
         x = img = None
         w_idx = 0
+        # remat: checkpoint each block in backward (noise_mode /
+        # fused_modconv are static; the per-layer noise rng is lifted).
+        SB = nn.remat(SynthesisBlock, static_argnums=(4, 5)) if self.remat \
+            else SynthesisBlock
         for res in self.block_resolutions:
             in_ch = chans[res // 2] if res > 4 else 0
-            block = SynthesisBlock(
+            block = SB(
                 in_ch, chans[res], w_dim=self.w_dim, resolution=res,
                 img_channels=self.img_channels,
                 is_last=(res == self.img_resolution),
@@ -136,8 +141,9 @@ class SynthesisNetwork(nn.Module):
             take = block.num_conv + block.num_torgb
             block_ws = ws[:, w_idx : w_idx + take]
             w_idx += block.num_conv
-            x, img = block(x, block_ws, img, noise_mode,
-                           fused_modconv=fused_modconv)
+            # static args (noise_mode, fused_modconv) must be positional for
+            # nn.remat's static_argnums to see them.
+            x, img = block(x, block_ws, img, noise_mode, fused_modconv)
         return jnp.tanh(img)
 
 
@@ -159,7 +165,8 @@ class Generator(nn.Module):
     def setup(self):
         self.synthesis = SynthesisNetwork(
             w_dim=self.w_dim, img_resolution=self.cfg.resolution,
-            channel_base=self.cfg.filterG, dtype=self.dtype)
+            channel_base=self.cfg.filterG, remat=self.cfg.remat,
+            dtype=self.dtype)
         self.mapping = MappingNetwork(z_dim=self.cfg.z_size,
                                       w_dim=self.w_dim,
                                       num_ws=self.synthesis.num_ws)

@@ -413,7 +413,7 @@ class Trainer:
             from gan3d_tpu.parallel.mesh import put_global_batch
 
             put = lambda arr: put_global_batch(  # noqa: E731
-                self.mesh, arr, P(None, "data"))
+                self.mesh, arr, self._batch_in.spec)
         prefetch = DevicePrefetcher(gen, cfg.iterD, put,
                                     wire_dtype=self._wire_dtype())
         print("Starting Training...", flush=True)

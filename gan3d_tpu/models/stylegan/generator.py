@@ -29,8 +29,18 @@ Dtype = Any
 def synthesis_channels(channel_base: int, resolution: int,
                        channel_max: int = 512) -> dict:
     res_log2 = int(np.log2(resolution))
-    return {2 ** i: min(channel_base // (2 ** i), channel_max)
-            for i in range(2, res_log2 + 1)}
+    chans = {2 ** i: min(channel_base // (2 ** i), channel_max)
+             for i in range(2, res_log2 + 1)}
+    if chans[resolution] < 1:
+        # The reference inherits this footgun (stylegan.py:660-662 with
+        # channel_base=params.filterG): channel_base // resolution rounds
+        # to zero channels and torch crashes deep inside conv3d. Fail
+        # loudly with the fix instead.
+        raise ValueError(
+            f"StyleGAN channel table hits 0 channels at resolution "
+            f"{resolution} with filterG/filterD={channel_base}; use "
+            f"filter >= resolution (reference default: 128).")
+    return chans
 
 
 class SynthesisBlock(nn.Module):

@@ -66,7 +66,10 @@ class Trainer:
         set_lane_conv_mode(cfg.fast_conv)
         set_fast_upconv_mode(cfg.fast_upconv)
 
-        if cfg.resolution >= 128 and not cfg.remat:
+        if (cfg.resolution >= 128 and not cfg.remat
+                and self.family not in ("stylegan", "stylegan2")):
+            # stylegan's 128^3 channel table is narrow enough that batch <= 8
+            # fits (and runs faster) WITHOUT remat — measured in docs/PERF.md.
             print("hint: at 128^3+, --remat=True --fused_step=False is "
                   "usually required to fit HBM / the compiler; add "
                   "--remat_scope=stage for larger batches (docs/PERF.md)",

@@ -63,7 +63,8 @@ class _ZeroDataset:
 def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
             filters: int = 64, remat: bool = False, channel_ratio: int = 4,
             family: str = "biggan", fused: bool = True,
-            fast_conv: str = "auto", remat_scope: str = "block") -> float:
+            fast_conv: str = "auto", remat_scope: str = "block",
+            xla_vmem: int = -1) -> float:
     import tempfile
 
     import jax
@@ -79,6 +80,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
                  remat_scope=remat_scope,
                  channel_ratio=channel_ratio, fused_step=fused,
                  fast_conv=fast_conv, fid_in_loop=False,
+                 xla_vmem_limit_kib=xla_vmem,
                  log_dir=tempfile.mkdtemp(prefix="bench_"),
                  data_loader_workers=1, **fam_kw)
     t = time.perf_counter()
@@ -132,6 +134,10 @@ def main() -> None:
     p.add_argument("--remat_scope", default="block",
                    choices=["block", "stage"],
                    help="remat granularity (config.remat_scope)")
+    p.add_argument("--xla_vmem", type=int, default=-1,
+                   help="xla_tpu_scoped_vmem_limit_kib for the step "
+                        "programs (<=0 compiler default; >0 opts in — "
+                        "see docs/PERF.md)")
     p.add_argument("--channel_ratio", type=int, default=4,
                    help="bottleneck shrink (4 = reference; smaller = wider "
                         "hidden convs, better MXU utilization)")
@@ -160,7 +166,7 @@ def main() -> None:
         try:
             vps = measure(b, iters, warmup, a.resolution, a.filters, remat,
                           a.channel_ratio, a.family, fused, a.fast_conv,
-                          a.remat_scope)
+                          a.remat_scope, a.xla_vmem)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback

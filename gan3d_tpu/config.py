@@ -129,6 +129,16 @@ class Config:
                                  # stride-2 transposed conv, +20-25%/block);
                                  # "on"/"tconv"/"off" force. Same params /
                                  # numerics (mod f32 order).
+    xla_vmem_limit_kib: int = -1  # scoped-VMEM fusion budget passed to the
+                                  # TPU compiler (xla_tpu_scoped_vmem_limit_kib)
+                                  # for the train-step programs, via
+                                  # jit(compiler_options=...). -1/0 =
+                                  # compiler default (64 MiB measured only
+                                  # +1.4% on the flagship step at 2.8x the
+                                  # compile time, with flaky remote-helper
+                                  # compiles — docs/PERF.md); >0 opts in to
+                                  # that many KiB on hardware with a local
+                                  # compiler.
     wire_dtype: str = "auto"     # host->device dtype for real batches:
                                  # "auto" = compute_dtype when numerically
                                  # free (the step casts at the first conv;

@@ -135,6 +135,19 @@ class Trainer:
         )
 
         # --- shardings + jitted programs ---
+        # Scoped-VMEM budget for the step programs (cfg.xla_vmem_limit_kib,
+        # opt-in). A 64 MiB budget measured +1.4% on the 64^3 flagship step
+        # but costs 2.8x the compile time and makes the remote compile
+        # helper SIGKILL nondeterministically (and deterministically at
+        # 128^3) — docs/PERF.md. auto therefore resolves to the compiler
+        # default; the knob stays for hardware with a local compiler.
+        vmem = max(cfg.xla_vmem_limit_kib, 0)
+        self._compiler_options = (
+            {"xla_tpu_scoped_vmem_limit_kib": str(vmem)} if vmem > 0 else None)
+
+        def jit_step(fn, **kw):
+            return jax.jit(fn, compiler_options=self._compiler_options, **kw)
+
         # With spatial_devices > 1 the volume depth axis additionally shards
         # over "space" (reals are [iterD, N, D, H, W, 1]; fakes [N, D, H, W,
         # 1]) and GSPMD inserts halo exchanges for every conv stencil.
@@ -161,9 +174,9 @@ class Trainer:
                 fn = build_stylegan_step(cfg, self.G, self.D, self.g_tx,
                                          self.d_tx, static_r1=r1,
                                          static_pl=pl)
-                return jax.jit(fn, in_shardings=(rep, batch_in, rep),
-                               out_shardings=(rep, rep, batch_out),
-                               donate_argnums=(0,))
+                return jit_step(fn, in_shardings=(rep, batch_in, rep),
+                                out_shardings=(rep, rep, batch_out),
+                                donate_argnums=(0,))
 
             if cfg.fused_step:
                 if is_v2:
@@ -183,13 +196,13 @@ class Trainer:
                     d_fn, g_fn = build_stylegan_split_steps(
                         cfg, self.G, self.D, self.g_tx, self.d_tx,
                         static_r1=r1, static_pl=pl)
-                    d_jit = jax.jit(d_fn,
-                                    in_shardings=(rep, batch_out, rep, rep),
-                                    out_shardings=(rep, rep),
-                                    donate_argnums=(0,))
-                    g_jit = jax.jit(g_fn, in_shardings=(rep, rep),
-                                    out_shardings=(rep, rep, batch_out),
-                                    donate_argnums=(0,))
+                    d_jit = jit_step(d_fn,
+                                     in_shardings=(rep, batch_out, rep, rep),
+                                     out_shardings=(rep, rep),
+                                     donate_argnums=(0,))
+                    g_jit = jit_step(g_fn, in_shardings=(rep, rep),
+                                     out_shardings=(rep, rep, batch_out),
+                                     donate_argnums=(0,))
                     return d_jit, g_jit
 
                 if is_v2:
@@ -212,9 +225,9 @@ class Trainer:
         elif cfg.fused_step:
             step_fn = build_train_step(cfg, self.G, self.D, self.g_tx,
                                        self.d_tx)
-            fused = jax.jit(step_fn, in_shardings=(rep, batch_in, rep),
-                            out_shardings=(rep, rep, batch_out),
-                            donate_argnums=(0,))
+            fused = jit_step(step_fn, in_shardings=(rep, batch_in, rep),
+                             out_shardings=(rep, rep, batch_out),
+                             donate_argnums=(0,))
             self._step = lambda s, r, k, i: fused(s, r, k)
         else:
             # Split mode: two smaller XLA programs (numerically identical to
@@ -224,11 +237,11 @@ class Trainer:
 
             d_fn, g_fn = build_split_steps(cfg, self.G, self.D, self.g_tx,
                                            self.d_tx)
-            d_jit = jax.jit(d_fn, in_shardings=(rep, batch_out, rep, rep),
-                            out_shardings=(rep, rep), donate_argnums=(0,))
-            g_jit = jax.jit(g_fn, in_shardings=(rep, rep),
-                            out_shardings=(rep, rep, batch_out),
-                            donate_argnums=(0,))
+            d_jit = jit_step(d_fn, in_shardings=(rep, batch_out, rep, rep),
+                             out_shardings=(rep, rep), donate_argnums=(0,))
+            g_jit = jit_step(g_fn, in_shardings=(rep, rep),
+                             out_shardings=(rep, rep, batch_out),
+                             donate_argnums=(0,))
 
             def split_step(state, reals, base_key, i):
                 d_metrics = {}

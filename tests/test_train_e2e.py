@@ -152,3 +152,17 @@ def test_load_params_flag(dataset, tmp_path):
                      log_dir=str(tmp_path / "lp"), load_params=True)
     t2 = Trainer(dataset, cfg2)
     assert t2.cfg.dcgan and not t2.cfg.biggan and t2.cfg.filterG == 8
+
+
+def test_xla_vmem_knob_plumbs_compiler_options(dataset, tmp_path):
+    """cfg.xla_vmem_limit_kib > 0 reaches the step jits as a TPU
+    compiler_options dict; <=0 (the default) leaves options unset. The
+    option itself only exists on TPU, so CPU asserts plumbing, not effect
+    (the measured TPU story is in docs/PERF.md)."""
+    t0 = Trainer(dataset, small_cfg(tmp_path, dcgan=True,
+                                    log_dir=str(tmp_path / "v0")))
+    assert t0._compiler_options is None
+    cfg = small_cfg(tmp_path, dcgan=True, xla_vmem_limit_kib=12345,
+                    log_dir=str(tmp_path / "v1"))
+    t1 = Trainer(dataset, cfg)
+    assert t1._compiler_options == {"xla_tpu_scoped_vmem_limit_kib": "12345"}

@@ -68,6 +68,15 @@ class Config:
                                 # chips. resolution must divide by it;
                                 # attention lowers through XLA (not Pallas)
                                 # in this mode.
+    model_devices: int = 1      # >1: 2-D (data, model) mesh — tensor
+                                # parallelism: wide kernels shard their
+                                # output-channel dim over `model`
+                                # (parallel/tp.py) and downstream
+                                # activations shard channel-wise, dividing
+                                # activation memory by the axis size. The
+                                # channel-dim complement to spatial_devices
+                                # (not combinable with it); attention
+                                # lowers through XLA in this mode.
     sync_bn: bool = True        # cross-replica BN stats (reference DataParallel
                                 # computes BN per replica; see SURVEY §5.8)
     compute_dtype: str = "bfloat16"  # bf16 compute replaces CUDA AMP
@@ -128,6 +137,13 @@ class Config:
                                  # = the measured TPU winner ("tconv", one
                                  # stride-2 transposed conv, +20-25%/block);
                                  # "on"/"tconv"/"off" force. Same params /
+                                 # numerics (mod f32 order).
+    fast_downconv: str = "auto"  # fused avgpool(2) + 1x1 conv in
+                                 # DBlockDeep (ops/downsample_conv.py): one
+                                 # k=2/s=2 conv per pair, incl. the concat
+                                 # shortcut (measured 1.05-2.84x per pair
+                                 # on TPU — docs/PERF.md). "auto" = on for
+                                 # TPU; "on"/"off" force. Same params /
                                  # numerics (mod f32 order).
     xla_vmem_limit_kib: int = -1  # scoped-VMEM fusion budget passed to the
                                   # TPU compiler (xla_tpu_scoped_vmem_limit_kib)

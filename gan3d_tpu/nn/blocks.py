@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from gan3d_tpu.nn.layers import SNConv3d
 from gan3d_tpu.nn.norm import BatchNorm3d
 from gan3d_tpu.ops.conv3d import avg_pool3d, upsample_nearest3d
+from gan3d_tpu.ops.downsample_conv import fast_downconv_enabled
 from gan3d_tpu.ops.upsample_conv import fast_upconv_enabled
 
 Dtype = Any
@@ -93,21 +94,32 @@ class DBlockDeep(nn.Module):
             nn.relu(h), update_stats)
         h = SNConv3d(hid, kernel_size=3, padding=1, name="conv3", **kw)(
             nn.relu(h), update_stats)
+        # On TPU the avgpool+1x1 pairs below run fused as single k=2/s=2
+        # convs (1.05-2.84x per pair, ops/downsample_conv.py) — same params
+        # and numerics mod f32 order.
+        fuse_down = self.downsample and fast_downconv_enabled()
         h = nn.relu(h)
-        if self.downsample:
+        if self.downsample and not fuse_down:
             h = avg_pool3d(h, 2)
         h = SNConv3d(self.out_channels, kernel_size=1, padding=0,
-                     name="conv4", **kw)(h, update_stats)
+                     name="conv4", fuse_avgpool=fuse_down, **kw)(
+                         h, update_stats)
 
         # Shortcut: downsample, then concat extra channels from conv_sc.
-        sc = x
-        if self.downsample:
-            sc = avg_pool3d(sc, 2)
-        if self.in_channels != self.out_channels:
-            extra = SNConv3d(self.out_channels - self.in_channels,
-                             kernel_size=1, padding=0, name="conv_sc",
-                             **kw)(sc, update_stats)
-            sc = jnp.concatenate([sc, extra], axis=-1)
+        if fuse_down and self.in_channels != self.out_channels:
+            # one conv produces concat([avgpool(x), conv_sc(avgpool(x))])
+            sc = SNConv3d(self.out_channels - self.in_channels,
+                          kernel_size=1, padding=0, name="conv_sc",
+                          fuse_avgpool_concat=True, **kw)(x, update_stats)
+        else:
+            sc = x
+            if self.downsample:
+                sc = avg_pool3d(sc, 2)
+            if self.in_channels != self.out_channels:
+                extra = SNConv3d(self.out_channels - self.in_channels,
+                                 kernel_size=1, padding=0, name="conv_sc",
+                                 **kw)(sc, update_stats)
+                sc = jnp.concatenate([sc, extra], axis=-1)
         return h + sc
 
 

@@ -31,6 +31,10 @@ import jax
 import jax.numpy as jnp
 
 from gan3d_tpu.ops.conv3d import _triple, conv3d, conv_transpose3d
+from gan3d_tpu.ops.downsample_conv import (
+    avgpool_concat_conv3d,
+    avgpool_conv3d,
+)
 from gan3d_tpu.ops.upsample_conv import (
     fast_upconv_variant,
     upsample_conv3d,
@@ -230,6 +234,13 @@ class SNConv3d(nn.Module, _SpectralState):
     fuse_upsample: bool = False  # fused nearest-2x-up + conv (k=3/s=1/p=1
     #                              only); params identical to the unfused
     #                              layer — see ops/upsample_conv.py
+    fuse_avgpool: bool = False   # conv consumes avg_pool3d(x, 2), fused as
+    #                              one k=2/s=2 conv (k=1/s=1/p=0 only);
+    #                              params identical — ops/downsample_conv.py
+    fuse_avgpool_concat: bool = False  # output = concat([avgpool(x),
+    #                              conv(avgpool(x))]) in one conv — the
+    #                              DBlockDeep shortcut; bias covers the conv
+    #                              half only (as in the composed form)
     kernel_init: Optional[Callable] = None
     bias_init: Optional[Callable] = None
     dtype: Optional[Dtype] = None
@@ -259,12 +270,24 @@ class SNConv3d(nn.Module, _SpectralState):
             fused = (upsample_conv3d_tconv if fast_upconv_variant() == "tconv"
                      else upsample_conv3d)
             y = fused(x.astype(dtype), kernel.astype(dtype))
+        elif self.fuse_avgpool or self.fuse_avgpool_concat:
+            assert k == (1, 1, 1) and _triple(self.stride) == (1, 1, 1) \
+                and _triple(self.padding) == (0, 0, 0), \
+                "fuse_avgpool requires k=1, stride 1, padding 0"
+            fused = (avgpool_concat_conv3d if self.fuse_avgpool_concat
+                     else avgpool_conv3d)
+            y = fused(x.astype(dtype), kernel.astype(dtype))
         else:
             y = conv3d(x.astype(dtype), kernel.astype(dtype), self.stride,
                        self.padding, self.dilation)
         if self.use_bias:
             binit = self.bias_init or _uniform(1.0 / fan_in ** 0.5)
             bias = self.param("bias", binit, (self.features,), self.param_dtype)
+            if self.fuse_avgpool_concat:
+                # bias belongs to the conv half only; the avgpool half (the
+                # first in_ch channels of the fused output) is bias-free.
+                bias = jnp.concatenate(
+                    [jnp.zeros((in_ch,), bias.dtype), bias])
             y = y + bias.astype(dtype)
         return y
 

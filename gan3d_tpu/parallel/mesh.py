@@ -10,30 +10,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
+MODEL_AXIS = "model"
 
 
 def make_mesh(num_devices: int = 0,
               devices: Optional[Sequence[jax.Device]] = None,
-              spatial: int = 1) -> Mesh:
+              spatial: int = 1, model: int = 1) -> Mesh:
     """Device mesh over the first `num_devices` devices (0 = all).
 
-    spatial == 1 (default): 1-D ("data",) data-parallel mesh.
+    spatial == model == 1 (default): 1-D ("data",) data-parallel mesh.
     spatial  > 1: 2-D ("data", "space") mesh — batches shard their leading
     axis over "data" and the volume's depth axis over "space"; XLA's SPMD
     partitioner inserts the conv halo exchanges (the volumetric analog of
     context parallelism — SURVEY §5.7). Adjacent devices share a spatial
     group so halo traffic rides neighboring ICI links.
+    model > 1: 2-D ("data", "model") mesh — wide layer weights shard their
+    output-channel dim over "model" (parallel/tp.py); adjacent devices
+    share a model group so the per-layer collectives ride neighboring ICI.
     """
+    if spatial > 1 and model > 1:
+        raise ValueError("spatial and model parallelism cannot be combined "
+                         "yet — pick one of spatial_devices/model_devices")
     devs = list(devices if devices is not None else jax.devices())
     if num_devices and num_devices > 0:
         devs = devs[:num_devices]
-    if spatial <= 1:
+    inner = spatial if spatial > 1 else model
+    if inner <= 1:
         return Mesh(np.asarray(devs), (DATA_AXIS,))
-    if len(devs) % spatial:
+    if len(devs) % inner:
         raise ValueError(
-            f"{len(devs)} devices not divisible by spatial={spatial}")
-    grid = np.asarray(devs).reshape(len(devs) // spatial, spatial)
-    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+            f"{len(devs)} devices not divisible by {inner}")
+    grid = np.asarray(devs).reshape(len(devs) // inner, inner)
+    axis = SPACE_AXIS if spatial > 1 else MODEL_AXIS
+    return Mesh(grid, (DATA_AXIS, axis))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

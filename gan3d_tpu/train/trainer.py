@@ -61,10 +61,12 @@ class Trainer:
 
         # Lane-packed narrow-conv rewrite (ops/lane_conv.py) — set before any
         # model tracing; the flag is read at trace time.
+        from gan3d_tpu.ops.downsample_conv import set_fast_downconv_mode
         from gan3d_tpu.ops.lane_conv import set_lane_conv_mode
         from gan3d_tpu.ops.upsample_conv import set_fast_upconv_mode
         set_lane_conv_mode(cfg.fast_conv)
         set_fast_upconv_mode(cfg.fast_upconv)
+        set_fast_downconv_mode(cfg.fast_downconv)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):
@@ -76,20 +78,22 @@ class Trainer:
                   flush=True)
 
         # --- mesh + models ---
-        self.mesh = make_mesh(cfg.num_devices, spatial=cfg.spatial_devices)
+        self.mesh = make_mesh(cfg.num_devices, spatial=cfg.spatial_devices,
+                              model=cfg.model_devices)
         ndev = len(self.mesh.devices.ravel())
-        n_data = ndev // max(cfg.spatial_devices, 1)
+        n_data = ndev // max(cfg.spatial_devices, 1) \
+            // max(cfg.model_devices, 1)
         if cfg.batch_size % n_data:
             raise ValueError(
                 f"batch_size {cfg.batch_size} not divisible by {n_data} "
                 f"data-parallel devices")
-        if cfg.spatial_devices > 1:
-            if cfg.resolution % cfg.spatial_devices:
-                raise ValueError(
-                    f"resolution {cfg.resolution} not divisible by "
-                    f"spatial_devices {cfg.spatial_devices}")
+        if cfg.spatial_devices > 1 and cfg.resolution % cfg.spatial_devices:
+            raise ValueError(
+                f"resolution {cfg.resolution} not divisible by "
+                f"spatial_devices {cfg.spatial_devices}")
+        if cfg.spatial_devices > 1 or cfg.model_devices > 1:
             # A Pallas custom call cannot be partitioned by GSPMD: lower the
-            # attention through plain XLA ops in spatially-sharded programs.
+            # attention through plain XLA ops in sharded-tensor programs.
             from gan3d_tpu.ops.attention import set_attention_impl
             set_attention_impl("xla")
         # Multi-host: each process feeds its slice of the global batch.
@@ -157,7 +161,16 @@ class Trainer:
         batch_out = NamedSharding(self.mesh, P("data", *sp))
         self._rep = rep
         self._batch_in = batch_in
-        self.state = jax.device_put(state, rep)
+        # Tensor parallelism (cfg.model_devices > 1): the train state's wide
+        # kernels shard their output-channel dim over the "model" axis
+        # (parallel/tp.py); GSPMD propagates the sharding through the step.
+        if cfg.model_devices > 1:
+            from gan3d_tpu.parallel.tp import tp_shardings
+            state_shard = tp_shardings(state, self.mesh)
+        else:
+            state_shard = rep
+        self._state_shard = state_shard
+        self.state = jax.device_put(state, state_shard)
 
         if self.family in ("stylegan2", "stylegan"):
             # The lazy R1/PL branches are hoisted out of lax.cond: we compile
@@ -174,8 +187,8 @@ class Trainer:
                 fn = build_stylegan_step(cfg, self.G, self.D, self.g_tx,
                                          self.d_tx, static_r1=r1,
                                          static_pl=pl)
-                return jit_step(fn, in_shardings=(rep, batch_in, rep),
-                                out_shardings=(rep, rep, batch_out),
+                return jit_step(fn, in_shardings=(state_shard, batch_in, rep),
+                                out_shardings=(state_shard, rep, batch_out),
                                 donate_argnums=(0,))
 
             if cfg.fused_step:
@@ -197,11 +210,13 @@ class Trainer:
                         cfg, self.G, self.D, self.g_tx, self.d_tx,
                         static_r1=r1, static_pl=pl)
                     d_jit = jit_step(d_fn,
-                                     in_shardings=(rep, batch_out, rep, rep),
-                                     out_shardings=(rep, rep),
+                                     in_shardings=(state_shard, batch_out,
+                                                   rep, rep),
+                                     out_shardings=(state_shard, rep),
                                      donate_argnums=(0,))
-                    g_jit = jit_step(g_fn, in_shardings=(rep, rep),
-                                     out_shardings=(rep, rep, batch_out),
+                    g_jit = jit_step(g_fn, in_shardings=(state_shard, rep),
+                                     out_shardings=(state_shard, rep,
+                                                    batch_out),
                                      donate_argnums=(0,))
                     return d_jit, g_jit
 
@@ -225,8 +240,9 @@ class Trainer:
         elif cfg.fused_step:
             step_fn = build_train_step(cfg, self.G, self.D, self.g_tx,
                                        self.d_tx)
-            fused = jit_step(step_fn, in_shardings=(rep, batch_in, rep),
-                             out_shardings=(rep, rep, batch_out),
+            fused = jit_step(step_fn,
+                             in_shardings=(state_shard, batch_in, rep),
+                             out_shardings=(state_shard, rep, batch_out),
                              donate_argnums=(0,))
             self._step = lambda s, r, k, i: fused(s, r, k)
         else:
@@ -237,10 +253,12 @@ class Trainer:
 
             d_fn, g_fn = build_split_steps(cfg, self.G, self.D, self.g_tx,
                                            self.d_tx)
-            d_jit = jit_step(d_fn, in_shardings=(rep, batch_out, rep, rep),
-                             out_shardings=(rep, rep), donate_argnums=(0,))
-            g_jit = jit_step(g_fn, in_shardings=(rep, rep),
-                             out_shardings=(rep, rep, batch_out),
+            d_jit = jit_step(d_fn, in_shardings=(state_shard, batch_out,
+                                                 rep, rep),
+                             out_shardings=(state_shard, rep),
+                             donate_argnums=(0,))
+            g_jit = jit_step(g_fn, in_shardings=(state_shard, rep),
+                             out_shardings=(state_shard, rep, batch_out),
                              donate_argnums=(0,))
 
             def split_step(state, reals, base_key, i):
@@ -261,8 +279,8 @@ class Trainer:
             return out, state.replace(g_state=g_state)
 
         noise_in = NamedSharding(self.mesh, P("data"))  # [B, z]: no space dim
-        self._sample = jax.jit(sample_fn, in_shardings=(rep, noise_in),
-                               out_shardings=(batch_out, rep))
+        self._sample = jax.jit(sample_fn, in_shardings=(state_shard, noise_in),
+                               out_shardings=(batch_out, state_shard))
 
         # --- data (per-host slice of the global batch) ---
         self.loader = Loader(dataset, self._local_batch,
@@ -396,7 +414,7 @@ class Trainer:
         restored, history = self.ckpt.restore(template)
         if restored is None:
             return 0
-        self.state = jax.device_put(restored, self._rep)
+        self.state = jax.device_put(restored, self._state_shard)
         self.G_losses = history.get("lossG", [])
         self.D_losses = history.get("lossD", [])
         self.fid_epoch = history.get("fid", [])

@@ -75,8 +75,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--blocks", action="store_true",
+                    help="whole-DBlockDeep A/B instead of the op pairs")
     a = ap.parse_args()
     print(f"# backend={jax.default_backend()} batch={a.batch}", flush=True)
+    if a.blocks:
+        bench_blocks(a.iters, a.batch)
+        return
 
     # (name, cin, cout, input size): flagship D's pooled 1x1s — conv4 expand
     # (hid -> out) and shortcut conv_sc (in -> out-in) at each down stage.
@@ -112,6 +117,34 @@ def main():
                                   fused(w, x).astype(jnp.float32))))
         row["max_abs_diff"] = round(d, 5)
         print(row, flush=True)
+
+
+
+def bench_blocks(iters: int, batch: int) -> None:
+    """Whole-DBlockDeep A/B (the fusion-neighborhood check that sank the
+    lane-conv rewrite; run with --blocks)."""
+    from gan3d_tpu.nn.blocks import DBlockDeep
+    from gan3d_tpu.ops import downsample_conv
+    from scripts.bench_block_conv import bench_block
+
+    cases = [
+        ("D down 64->128 @64", 64, 128, 64),
+        ("D down 128->256 @32", 128, 256, 32),
+        ("D down 256->512 @16", 256, 512, 16),
+    ]
+    for name, cin, cout, size in cases:
+        row = {"case": name}
+        for mode in ("off", "on"):
+            downsample_conv.set_fast_downconv_mode(mode)
+            jax.clear_caches()
+            f, b = bench_block(DBlockDeep, cin, cout, size, batch, iters,
+                               downsample=True)
+            row[f"{mode}_fwd_ms"] = round(f, 2)
+            row[f"{mode}_fwdbwd_ms"] = round(b, 2)
+        row["on_speedup"] = round(
+            row["off_fwdbwd_ms"] / row["on_fwdbwd_ms"], 2)
+        print(row, flush=True)
+    downsample_conv.set_fast_downconv_mode("auto")
 
 
 if __name__ == "__main__":

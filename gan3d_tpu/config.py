@@ -284,6 +284,14 @@ class Config:
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    def to_namespace(self):
+        """argparse.Namespace of every field — the reference's params.pkl
+        payload type (trainer.py:42-47), for torch-side export
+        (eval/export.py)."""
+        import argparse
+
+        return argparse.Namespace(**self.to_dict())
+
 
 def add_config_flags(parser) -> None:
     """Register every Config field on an argparse parser.

@@ -1,0 +1,189 @@
+"""Torch checkpoint export (eval/export.py): the inverse of eval/convert.py.
+
+Three layers of evidence:
+1. Round-trip: export -> the (torch-oracle-verified) importers -> tree
+   equality with the original variables, for every supported family/variant.
+2. Torch oracle: strict load_state_dict into reference-layout torch modules
+   (tests/test_convert.py builders) + forward parity vs our model.
+3. End-to-end: train a few steps, export the run dir, re-load the EXPORTED
+   dir through the reference-run interop path (eval.load.load_run treats it
+   exactly like a reference run) and compare generated samples.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from gan3d_tpu.config import Config
+from gan3d_tpu.eval.convert import (
+    convert_biggan_d,
+    convert_biggan_g,
+    convert_dcgan_d,
+    convert_dcgan_g,
+)
+from gan3d_tpu.eval.export import (
+    export_biggan_d,
+    export_biggan_g,
+    export_checkpoint,
+    export_dcgan_d,
+    export_dcgan_g,
+)
+from gan3d_tpu.models import build_models
+
+from tests.test_convert import build_torch_dcgan_d_sngan, build_torch_dcgan_g
+
+
+def _init_vars(cfg, which="g"):
+    G, D = build_models(cfg)
+    key = jax.random.PRNGKey(0)
+    if which == "g":
+        m = G
+        x = jnp.zeros((2, cfg.z_size))
+    else:
+        m = D
+        x = jnp.zeros((2, cfg.resolution, cfg.resolution, cfg.resolution, 1))
+    rngs = {"params": key}
+    if which == "d" and cfg.msl:
+        rngs["crops"] = jax.random.fold_in(key, 1)
+    return m, jax.jit(m.init)(rngs, x)
+
+
+def _assert_tree_equal(a, b):
+    fa = sorted(jax.tree.leaves_with_path(a), key=lambda t: str(t[0]))
+    fb = sorted(jax.tree.leaves_with_path(b), key=lambda t: str(t[0]))
+    assert [str(p) for p, _ in fa] == [str(p) for p, _ in fb]
+    for (pa, va), (_, vb) in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   atol=0, err_msg=str(pa))
+
+
+DCGAN_BASE = dict(dcgan=True, resolution=16, z_size=8, filterG=4, filterD=4,
+                  compute_dtype="float32")
+DEEP_BASE = dict(resolution=16, z_size=8, filterG=8, filterD=8,
+                 compute_dtype="float32")
+
+
+@pytest.mark.parametrize("kw", [
+    {}, {"sngan": True}, {"sagan": True, "resolution": 32},
+], ids=["plain", "sngan", "sagan"])
+def test_dcgan_g_roundtrip(kw):
+    cfg = Config(**{**DCGAN_BASE, **kw})
+    _, gv = _init_vars(cfg, "g")
+    sd = export_dcgan_g(gv, cfg)
+    _assert_tree_equal(gv, convert_dcgan_g(sd, cfg))
+
+
+@pytest.mark.parametrize("kw", [
+    {}, {"sngan": True}, {"sagan": True, "resolution": 32}, {"msl": True},
+], ids=["wgan", "sngan", "sagan", "msl"])
+def test_dcgan_d_roundtrip(kw):
+    cfg = Config(**{**DCGAN_BASE, **kw})
+    _, dv = _init_vars(cfg, "d")
+    sd = export_dcgan_d(dv, cfg)
+    _assert_tree_equal(dv, convert_dcgan_d(sd, cfg))
+
+
+@pytest.mark.parametrize("kw", [
+    {"biggan": True}, {"sngan": True}, {"sagan": True, "resolution": 32},
+], ids=["biggan", "sngan_deep", "sagan_deep"])
+def test_biggan_roundtrip(kw):
+    cfg = Config(**{**DEEP_BASE, **kw})
+    _, gv = _init_vars(cfg, "g")
+    _assert_tree_equal(gv, convert_biggan_g(export_biggan_g(gv, cfg), cfg))
+    _, dv = _init_vars(cfg, "d")
+    _assert_tree_equal(dv, convert_biggan_d(export_biggan_d(dv, cfg), cfg))
+
+
+def _to_torch(sd, strip="main."):
+    return {k[len(strip):] if k.startswith(strip) else k:
+            torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+
+def test_dcgan_g_torch_oracle():
+    """Exported weights strict-load into the reference-layout torch G and
+    produce the same volumes as our G."""
+    cfg = Config(**DCGAN_BASE)
+    G, gv = _init_vars(cfg, "g")
+    tg = build_torch_dcgan_g(cfg)
+    tg.load_state_dict(_to_torch(export_dcgan_g(gv, cfg)), strict=True)
+    tg.eval()  # fresh-init running stats (mean 0, var 1) = our batch_stats
+
+    z = np.random.default_rng(0).normal(size=(2, cfg.z_size)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = tg(torch.from_numpy(z).reshape(2, cfg.z_size, 1, 1, 1)).numpy()
+    # our G uses train-mode BN (batch stats) like the reference trainer, so
+    # compare in torch train-mode-BN terms: run torch in train() w/o grad
+    tg.train()
+    with torch.no_grad():
+        ref_train = tg(
+            torch.from_numpy(z).reshape(2, cfg.z_size, 1, 1, 1)).numpy()
+    out, _ = G.apply(gv, jnp.asarray(z), train=True,
+                     mutable=["batch_stats", "spectral"])
+    ours = np.asarray(out).transpose(0, 4, 1, 2, 3)  # NDHWC -> NCDHW
+    np.testing.assert_allclose(ours, ref_train, rtol=1e-4, atol=1e-4)
+    assert ref.shape == ref_train.shape  # eval path also loads/runs
+
+
+def test_dcgan_d_sngan_torch_oracle():
+    """Exported SN weights (parametrize keys incl. u/v) strict-load into a
+    torch spectral_norm D and score identically."""
+    cfg = Config(**{**DCGAN_BASE, "sngan": True})
+    D, dv = _init_vars(cfg, "d")
+    td = build_torch_dcgan_d_sngan(cfg)
+    td.load_state_dict(_to_torch(export_dcgan_d(dv, cfg)), strict=True)
+    td.eval()  # no power iteration in eval: u/v stay as exported
+
+    x = np.random.default_rng(1).normal(
+        size=(2, cfg.resolution, cfg.resolution, cfg.resolution, 1)
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref = td(torch.from_numpy(
+            x.transpose(0, 4, 1, 2, 3).copy())).numpy().reshape(2, -1)
+    out, _ = D.apply(dv, jnp.asarray(x), update_stats=False,
+                     mutable=["spectral"])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_export_checkpoint_end_to_end(tmp_path):
+    """Train -> export to the reference layout -> re-import the EXPORTED dir
+    through the reference-run interop path -> identical samples."""
+    from gan3d_tpu.data.datasets import NpzDataset
+    from gan3d_tpu.eval.load import load_run, make_sampler
+    from gan3d_tpu.train import Trainer
+
+    x = np.random.default_rng(0).normal(size=(8, 16, 16, 16))
+    data = str(tmp_path / "train.npz")
+    np.savez(data, X=np.clip(x, -1, 1).astype(np.float32))
+    cfg = Config(dcgan=True, resolution=16, z_size=8, filterG=4, filterD=4,
+                 batch_size=4, niters=2, iterD=2, steps_per_log=10,
+                 steps_per_img_log=10, steps_per_ckpt=1,
+                 log_dir=str(tmp_path / "run"), compute_dtype="float32",
+                 data_loader_workers=1, num_devices=1)
+    t = Trainer(NpzDataset(data), cfg)
+    t.train()
+    del t
+
+    out_dir = str(tmp_path / "run_torch")
+    path = export_checkpoint(cfg.log_dir, out_dir)
+
+    # the exported checkpoint has exactly the reference's keys
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(ckpt) == {"step", "modelG_state_dict", "modelD_state_dict",
+                         "optimizerG_state_dict", "optimizerD_state_dict",
+                         "lossG", "lossD", "fid"}
+    assert ckpt["step"] == 2 and len(ckpt["lossG"]) == 2
+
+    # and round-trips through the reference-run loading path
+    cfg2, G2, _, gv2, _ = load_run(out_dir)
+    assert cfg2.dcgan and cfg2.filterG == 4
+    z = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, cfg.z_size)).astype(np.float32))
+    cfg1, G1, _, gv1, _ = load_run(cfg.log_dir)
+    s1 = make_sampler(cfg1, G1, gv1)(z)
+    s2 = make_sampler(cfg2, G2, gv2)(z)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-5)

@@ -25,6 +25,21 @@ Numerics: identical modulo f32 summation order (w/8 is exact in binary
 floating point; the fused conv sums 8*Cin products where the composed form
 sums Cin products of 8-term averages).  Parity-tested in
 tests/test_downsample_conv.py.
+
+Backward pass (custom VJP): the step-HLO audit (scripts/dump_step_hlo.py)
+showed XLA's autodiff of these convs — lhs_dilate=2 k=2 convs — carrying
+~26% of the flagship step's nominal conv FLOPs.  But the fused kernel is
+UNIFORM over its 2^3 window (tile(w)/8), so the exact cotangents collapse:
+
+    dx = nearest_upsample_2x(dout @ (w/8)^T)      — all 8 output parities
+         of the transposed conv read the same tap value, so one [M,Co]@
+         [Co,Ci] GEMM + broadcast replaces the dilated conv (64x fewer
+         nominal MACs, 8x fewer than the best parity decomposition);
+    dw = avgpool2(x)^T @ dout                      — one [Ci,M]@[M,Co] GEMM.
+
+For the concat variant the identity block contributes dout[..., :Ci]/8
+directly into the pre-broadcast dx.  Gradient parity vs autodiff of the
+composed form is tested to ~1e-6 (f32) in tests/test_downsample_conv.py.
 """
 
 from __future__ import annotations
@@ -58,6 +73,22 @@ def fast_downconv_enabled() -> bool:
     return _MODE == "on"
 
 
+def _avgpool2(x: jax.Array) -> jax.Array:
+    """Exact 2x average pool via reshape (sum then a power-of-two scale)."""
+    n, d, h, wd, c = x.shape
+    xr = x.reshape(n, d // 2, 2, h // 2, 2, wd // 2, 2, c)
+    return xr.sum(axis=(2, 4, 6)) / 8
+
+
+def _upsample2(g: jax.Array) -> jax.Array:
+    """Nearest 2x upsample (the adjoint of a uniform 2^3 window read)."""
+    n, d, h, wd, c = g.shape
+    g = jnp.broadcast_to(g[:, :, None, :, None, :, None, :],
+                         (n, d, 2, h, 2, wd, 2, c))
+    return g.reshape(n, 2 * d, 2 * h, 2 * wd, c)
+
+
+@jax.custom_vjp
 def avgpool_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
     """avg_pool3d(x, 2) then 1x1 conv, fused as one k=2/s=2 conv.
 
@@ -71,6 +102,31 @@ def avgpool_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
                                     preferred_element_type=x.dtype)
 
 
+def _ap_fwd(x, w):
+    return avgpool_conv3d(x, w), (x, w)
+
+
+def _ap_bwd(res, g):
+    x, w = res
+    ci, co = w.shape[3], w.shape[4]
+    n, d, h, wd, _ = g.shape
+    gm = g.reshape(-1, co)
+    # dx: one GEMM against w/8, then broadcast to the 2^3 window (uniform
+    # kernel => all parities of the transposed conv are equal).
+    dxl = lax.dot_general(gm, w[0, 0, 0] / 8, (((1,), (1,)), ((), ())),
+                          preferred_element_type=g.dtype)
+    dx = _upsample2(dxl.reshape(n, d, h, wd, ci))
+    # dw: pooled input against the cotangent, f32 accumulation.
+    xp = _avgpool2(x).reshape(-1, ci)
+    dw0 = lax.dot_general(xp, gm, (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    return dx.astype(x.dtype), dw0[None, None, None].astype(w.dtype)
+
+
+avgpool_conv3d.defvjp(_ap_fwd, _ap_bwd)
+
+
+@jax.custom_vjp
 def avgpool_concat_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
     """`concat([avgpool2(x), conv1x1(w)(avgpool2(x))], -1)` as ONE conv.
 
@@ -88,3 +144,29 @@ def avgpool_concat_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
     return lax.conv_general_dilated(x, w2, (2, 2, 2), [(0, 0)] * 3,
                                     dimension_numbers=_DN,
                                     preferred_element_type=x.dtype)
+
+
+def _apc_fwd(x, w):
+    return avgpool_concat_conv3d(x, w), (x, w)
+
+
+def _apc_bwd(res, g):
+    x, w = res
+    ci, extra = w.shape[3], w.shape[4]
+    n, d, h, wd, _ = g.shape
+    gpool, gconv = g[..., :ci], g[..., ci:]
+    gm = gconv.reshape(-1, extra)
+    # dx: identity block routes gpool/8 into every window slot; the conv
+    # block adds gconv @ (w/8)^T — combined before the single broadcast.
+    dxl = lax.dot_general(gm, w[0, 0, 0].astype(g.dtype) / 8,
+                          (((1,), (1,)), ((), ())),
+                          preferred_element_type=g.dtype)
+    dxl = dxl.reshape(n, d, h, wd, ci) + gpool / 8
+    dx = _upsample2(dxl)
+    xp = _avgpool2(x).reshape(-1, ci)
+    dw0 = lax.dot_general(xp, gm, (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    return dx.astype(x.dtype), dw0[None, None, None].astype(w.dtype)
+
+
+avgpool_concat_conv3d.defvjp(_apc_fwd, _apc_bwd)

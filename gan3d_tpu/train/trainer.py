@@ -245,6 +245,9 @@ class Trainer:
                              out_shardings=(state_shard, rep, batch_out),
                              donate_argnums=(0,))
             self._step = lambda s, r, k, i: fused(s, r, k)
+            # raw jitted program handles for tooling (HLO dumps, AOT cost
+            # analysis — scripts/dump_step_hlo.py)
+            self._jit_programs = {"fused": fused}
         else:
             # Split mode: two smaller XLA programs (numerically identical to
             # the fused step) — for configs whose fused HLO overloads the
@@ -270,6 +273,7 @@ class Trainer:
                 return state, {**d_metrics, **g_metrics}, fake
 
             self._step = split_step
+            self._jit_programs = {"d": d_jit, "g": g_jit}
 
         sample_key = jax.random.fold_in(self._base_key, 0xA5)
 

@@ -74,6 +74,21 @@ def dx_gemm(dout, w):
     return y.reshape(n, 2 * d, 2 * h, 2 * wd, ci)
 
 
+def dx_uniform(dout, w1):
+    """The shipped backward (ops/downsample_conv.py): for the UNIFORM tiled
+    kernel (avgpool fusion) all 8 parities are equal — one [M,Co]@[Co,Ci]
+    GEMM + nearest-upsample.  w1: [ci, co] (the 1x1 weight, pre-tiling)."""
+    n, d, h, wd, co = dout.shape
+    ci = w1.shape[0]
+    y = jax.lax.dot_general(dout.reshape(-1, co), w1 / 8,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=dout.dtype)
+    y = y.reshape(n, d, h, wd, ci)
+    y = jnp.broadcast_to(y[:, :, None, :, None, :, None, :],
+                         (n, d, 2, h, 2, wd, 2, ci))
+    return y.reshape(n, 2 * d, 2 * h, 2 * wd, ci)
+
+
 def fwd_conv(x, w, stride=2):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,) * 3, padding="VALID",
@@ -102,15 +117,19 @@ def main():
         dout = jnp.asarray(rng.normal(size=(a.batch, od, od, od, co)),
                            jnp.bfloat16)
         w = jnp.asarray(rng.normal(size=(2, 2, 2, ci, co)), jnp.bfloat16)
+        w1 = jnp.asarray(rng.normal(size=(ci, co)), jnp.bfloat16)
         t_dil = time_fn(dx_dilated, (dout, w), a.iters)
         t_gemm = time_fn(dx_gemm, (dout, w), a.iters)
-        # numerics check
+        t_uni = time_fn(dx_uniform, (dout, w1), a.iters)
+        # numerics check (dilated vs generic gemm form only; the uniform
+        # form computes a different op — the avgpool-fused kernel's dx)
         y1 = jax.jit(dx_dilated)(dout, w)
         y2 = jax.jit(dx_gemm)(dout, w)
         err = float(jnp.max(jnp.abs(y1.astype(jnp.float32)
                                     - y2.astype(jnp.float32))))
         print(f"{name}: dilated {t_dil:.2f} ms | gemm+interleave "
-              f"{t_gemm:.2f} ms | speedup {t_dil / t_gemm:.2f}x "
+              f"{t_gemm:.2f} ms ({t_dil / t_gemm:.2f}x) | uniform-collapse "
+              f"{t_uni:.2f} ms ({t_dil / t_uni:.2f}x) "
               f"| max|diff| {err:.3g}", flush=True)
 
     # the dW of the same conv (for completeness): grad wrt w via vjp
@@ -124,6 +143,45 @@ def main():
         t_dw = time_fn(jax.grad(loss_w), (w, x), a.iters)
         t_f = time_fn(fwd_conv, (x, w), a.iters)
         print(f"{name}: fwd {t_f:.2f} ms | dW(grad) {t_dw:.2f} ms", flush=True)
+
+    # dW of the hot k=3/s=1/p=1 bottleneck convs (15.8% of step FLOPs,
+    # scripts/dump_step_hlo.py): XLA's conv-form dW vs 27 shifted-slice
+    # GEMMs (no materialized im2col).
+    def conv3(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=DN,
+            preferred_element_type=x.dtype)
+
+    def dw_conv(x, g):
+        w0 = jnp.zeros((3, 3, 3, x.shape[-1], g.shape[-1]), x.dtype)
+        return jax.grad(lambda w_: jnp.vdot(
+            conv3(x, w_).astype(jnp.float32), g.astype(jnp.float32)))(w0)
+
+    def dw_gemm(x, g):
+        n, d, h, wd, ci = x.shape
+        co = g.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        gm = g.reshape(-1, co)
+        taps = []
+        for kd in range(3):
+            for kh in range(3):
+                for kw in range(3):
+                    xs = xp[:, kd:kd + d, kh:kh + h, kw:kw + wd, :]
+                    taps.append(jax.lax.dot_general(
+                        xs.reshape(-1, ci), gm, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+        return jnp.stack(taps).reshape(3, 3, 3, ci, co)
+
+    for name, dim, ch in [("k3 32ch@64^3", 64, 32), ("k3 64ch@32^3", 32, 64),
+                          ("k3 128ch@16^3", 16, 128)]:
+        x = jnp.asarray(rng.normal(size=(a.batch, dim, dim, dim, ch)),
+                        jnp.bfloat16)
+        g = jnp.asarray(rng.normal(size=(a.batch, dim, dim, dim, ch)),
+                        jnp.bfloat16)
+        t_c = time_fn(dw_conv, (x, g), a.iters)
+        t_g = time_fn(dw_gemm, (x, g), a.iters)
+        print(f"{name}: dW conv-form {t_c:.2f} ms | 27-GEMM {t_g:.2f} ms "
+              f"({t_c / t_g:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

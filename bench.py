@@ -32,6 +32,30 @@ import time
 A100_BASELINE_VPS = 64.0
 
 
+def _init_backend_or_die(timeout_s: float = 600.0) -> None:
+    """Fail fast if the TPU backend can't initialize (tunnel outage).
+
+    `jax.devices()` blocks indefinitely when the axon relay is down
+    (observed: a 2.5h+ hang); a hung bench would silently eat the driver's
+    whole budget. Probe init on a daemon thread and abort loudly instead.
+    """
+    import threading
+
+    ok = threading.Event()
+
+    def probe() -> None:
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(timeout_s):
+        print(f"# FATAL: backend init did not complete in {timeout_s:.0f}s "
+              "(TPU tunnel down?)", file=sys.stderr, flush=True)
+        os._exit(3)
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compile cache — first bench compile is minutes; the
     driver's end-of-round run then hits the warm cache."""
@@ -142,6 +166,7 @@ def main() -> None:
                    help="bottleneck shrink (4 = reference; smaller = wider "
                         "hidden convs, better MXU utilization)")
     a = p.parse_args()
+    _init_backend_or_die()
     _enable_compile_cache()
     fused = str(a.fused_step).lower() in ("1", "true", "yes")
     if a.family == "stylegan2":

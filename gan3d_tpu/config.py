@@ -94,6 +94,16 @@ class Config:
                                 # bf16) stops being a checkpoint residual.
                                 # Unlocks larger batches at 128^3.
     steps_per_ckpt: int = 100   # reference checkpoints every 100 steps
+    async_log: bool = True      # defer each log line's device sync to the
+                                # next flush point (log/img/ckpt step or end
+                                # of training) so later steps are already
+                                # enqueued when the host blocks — the
+                                # blocking readback otherwise drains the
+                                # dispatch queue and idles the chip (~15% at
+                                # steps_per_log=10 over a high-latency
+                                # tunnel). Printed values, content, and line
+                                # order are identical; lines just appear one
+                                # log interval later. False = print eagerly.
     fid_in_loop: Optional[bool] = None  # in-loop axial slice FID every
                                 # steps_per_log (reference trainer.py:100-110
                                 # computes it unconditionally). None = auto:

@@ -298,6 +298,10 @@ class Trainer:
         self.fid: List[float] = []
         self.fid_epoch: List[float] = []
         self._pending: List[Dict[str, Any]] = []
+        # cfg.async_log: a log step stores (step, metrics, fake, real) here
+        # and the device sync + print happen at the NEXT flush point, with
+        # later steps already in the dispatch queue.
+        self._deferred: Optional[tuple] = None
         self.ckpt = CheckpointManager(self.models_dir)
         self._fid_fn = self._make_inloop_fid()
         from gan3d_tpu.utils.profiling import StepProfiler
@@ -361,7 +365,7 @@ class Trainer:
         return {"lossG": self.G_losses, "lossD": self.D_losses,
                 "fid": self.fid_epoch}
 
-    def log_train(self, step: int, fake, real) -> None:
+    def log_train(self, step: int, fake, real, metrics=None) -> None:
         if self._n_proc > 1 and self._fid_active and real is not None:
             # Multi-host: the fid fn needs the full fake batch (sharded
             # globally) and the full real batch (each process holds only
@@ -373,10 +377,23 @@ class Trainer:
                                                      tiled=True)
         self.fid.append(self._fid_fn(fake, real))
         self._flush_pending()
-        d_real, d_fake = self.D_losses[-1]
+        if metrics is not None:
+            # deferred flush: _pending may already hold LATER steps'
+            # metrics, so print this step's own values, not the list tail.
+            d_real, d_fake = float(metrics["d_real"]), float(metrics["d_fake"])
+            g_loss = float(metrics["g_loss"])
+        else:
+            d_real, d_fake = self.D_losses[-1]
+            g_loss = self.G_losses[-1]
         print("[%d|%d]\tD(x): %.4f\tD(G(z)): %.4f|%.4f\tFID %.4f"
-              % (step, self.cfg.niters, d_real, d_fake, self.G_losses[-1],
+              % (step, self.cfg.niters, d_real, d_fake, g_loss,
                  self.fid[-1]), flush=True)
+
+    def _flush_deferred(self) -> None:
+        if self._deferred is not None:
+            step, metrics, fake, real = self._deferred
+            self._deferred = None
+            self.log_train(step, fake, real, metrics=metrics)
 
     def log_interpolation(self, step: int) -> None:
         if self.fixed_test_noise is None:
@@ -404,10 +421,15 @@ class Trainer:
 
         return multihost_utils.process_allgather(arr, tiled=True)
 
-    def log(self, step: int, fake, real) -> None:
+    def log(self, step: int, fake, real, metrics=None) -> None:
         if step % self.cfg.steps_per_log == 0:
-            self.log_train(step, fake, real)
+            if self.cfg.async_log and metrics is not None:
+                self._flush_deferred()
+                self._deferred = (step, metrics, fake, real)
+            else:
+                self.log_train(step, fake, real)
         if step % self.cfg.steps_per_img_log == 0:
+            self._flush_deferred()  # keep the [step] line ahead of its PNG
             self.log_interpolation(step)
 
     def save_checkpoint(self, step: int) -> None:
@@ -466,12 +488,15 @@ class Trainer:
             self._pending.append(metrics)  # device arrays; sync at log time
             self.energy.epoch_end()
             real = real_host
-            self.log(i, fake, real)
+            self.log(i, fake, real, metrics)
             if i == step_done:
-                # the step-0 log above flushed metrics (a device sync), so
-                # everything before this point is compile + first step.
+                # sync the first step eagerly: keeps the [0|N] line prompt,
+                # surfaces compile failures immediately, and makes t_first
+                # mark "compile + first step" exactly.
+                self._flush_deferred()
                 t_first = time.time()
             if i % cfg.steps_per_ckpt == 0 and i > 0:
+                self._flush_deferred()  # fid list must include this step
                 vals = [v for v in self.fid if not np.isnan(v)]
                 self.fid_epoch.append(float(np.mean(vals)) if vals
                                       else float("nan"))
@@ -484,6 +509,7 @@ class Trainer:
         i = cfg.niters - 1
         self.profiler.close()
         self.energy.write(self.log_dir)
+        self._flush_deferred()
         self.log_train(i, fake, real)
         t_last_sync = time.time()  # all steps' compute synced at this point
         self.log_interpolation(i)

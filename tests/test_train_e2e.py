@@ -55,6 +55,30 @@ def test_dcgan_wgan_train_and_resume(dataset, tmp_path, capsys):
     assert "starting from step 3" in out2
 
 
+def test_async_log_identical_output(dataset, tmp_path, capsys):
+    """cfg.async_log defers each log line's device sync to the next flush
+    point (pipelining on TPU) — printed lines, order, and recorded losses
+    must be IDENTICAL to eager logging."""
+    t_async = Trainer(dataset, small_cfg(
+        tmp_path, dcgan=True, niters=5, steps_per_log=2,
+        log_dir=str(tmp_path / "async"), async_log=True))
+    t_async.train()
+    out_async = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("[")]
+    t_eager = Trainer(dataset, small_cfg(
+        tmp_path, dcgan=True, niters=5, steps_per_log=2,
+        log_dir=str(tmp_path / "eager"), async_log=False))
+    t_eager.train()
+    out_eager = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("[")]
+    assert out_async == out_eager
+    np.testing.assert_array_equal(t_async.G_losses, t_eager.G_losses)
+    np.testing.assert_array_equal(np.asarray(t_async.D_losses),
+                                  np.asarray(t_eager.D_losses))
+    np.testing.assert_array_equal(np.asarray(t_async.fid_epoch),
+                                  np.asarray(t_eager.fid_epoch))  # nan==nan
+
+
 def test_biggan_hinge_train(dataset, tmp_path):
     cfg = small_cfg(tmp_path, biggan=True, hinge=True)
     t = Trainer(dataset, cfg)

@@ -155,6 +155,13 @@ class Config:
                                  # on TPU — docs/PERF.md). "auto" = on for
                                  # TPU; "on"/"off" force. Same params /
                                  # numerics (mod f32 order).
+    fast_dw: str = "auto"        # Pallas wide-N weight-gradient kernel for
+                                 # the k=3/s=1/p=1 convs (ops/dw_conv.py):
+                                 # dW as one [Ci,K]@[K,27*Co] GEMM (all MXU
+                                 # lanes live vs XLA's narrow-N=Co form).
+                                 # "auto" = measured winner per backend;
+                                 # "on"/"off" force. Forward/dx unchanged;
+                                 # dW accumulates f32.
     xla_vmem_limit_kib: int = -1  # scoped-VMEM fusion budget passed to the
                                   # TPU compiler (xla_tpu_scoped_vmem_limit_kib)
                                   # for the train-step programs, via

@@ -62,11 +62,13 @@ class Trainer:
         # Lane-packed narrow-conv rewrite (ops/lane_conv.py) — set before any
         # model tracing; the flag is read at trace time.
         from gan3d_tpu.ops.downsample_conv import set_fast_downconv_mode
+        from gan3d_tpu.ops.dw_conv import set_fast_dw_mode
         from gan3d_tpu.ops.lane_conv import set_lane_conv_mode
         from gan3d_tpu.ops.upsample_conv import set_fast_upconv_mode
         set_lane_conv_mode(cfg.fast_conv)
         set_fast_upconv_mode(cfg.fast_upconv)
         set_fast_downconv_mode(cfg.fast_downconv)
+        set_fast_dw_mode(cfg.fast_dw)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):

@@ -172,6 +172,8 @@ def main():
                         preferred_element_type=jnp.float32))
         return jnp.stack(taps).reshape(3, 3, 3, ci, co)
 
+    from gan3d_tpu.ops import dw_conv as dwk
+
     for name, dim, ch in [("k3 32ch@64^3", 64, 32), ("k3 64ch@32^3", 32, 64),
                           ("k3 128ch@16^3", 16, 128)]:
         x = jnp.asarray(rng.normal(size=(a.batch, dim, dim, dim, ch)),
@@ -180,8 +182,17 @@ def main():
                         jnp.bfloat16)
         t_c = time_fn(dw_conv, (x, g), a.iters)
         t_g = time_fn(dw_gemm, (x, g), a.iters)
-        print(f"{name}: dW conv-form {t_c:.2f} ms | 27-GEMM {t_g:.2f} ms "
-              f"({t_c / t_g:.2f}x)", flush=True)
+        t_p = time_fn(dwk.conv3d_dw, (x, g), a.iters)
+        # numerics: pallas wide-N form vs XLA conv-form dW
+        y_c = jax.jit(dw_conv)(x, g).astype(jnp.float32)
+        y_p = jax.jit(dwk.conv3d_dw)(x, g)
+        scale = float(jnp.max(jnp.abs(y_c))) or 1.0
+        err = float(jnp.max(jnp.abs(y_c - y_p))) / scale
+        gf = 2 * a.batch * dim ** 3 * ch * ch * 27 / 1e9
+        print(f"{name}: dW conv-form {t_c:.2f} ms ({gf/t_c:.1f} TF/s) | "
+              f"27-GEMM {t_g:.2f} ms | pallas wide-N {t_p:.2f} ms "
+              f"({gf/t_p:.1f} TF/s, {t_c / t_p:.2f}x) | rel|diff| {err:.3g}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -100,7 +100,7 @@ def eligible(x_shape, w_shape, stride, padding, dilation, groups) -> bool:
 
 
 def _dw_kernel(x_ref, gp_hbm, out_ref, slab, sems, *, dd: int, hh: int,
-               w: int, ci: int, co: int):
+               w: int, ci: int, co: int, split: int = 1):
     n_i = pl.program_id(0)
     d_i = pl.program_id(1)
     h_i = pl.program_id(2)
@@ -135,31 +135,37 @@ def _dw_kernel(x_ref, gp_hbm, out_ref, slab, sems, *, dd: int, hh: int,
     k = dd * hh * w
     lhs = x_ref[0].reshape(k, ci)
     sl = slab[slot]  # [dd+2, hh+2, w+2, co]
-    views = []
-    for kd in range(3):
-        for kh in range(3):
-            for kw in range(3):
-                v = lax.slice(sl, (2 - kd, 2 - kh, 2 - kw, 0),
-                              (2 - kd + dd, 2 - kh + hh, 2 - kw + w, co))
-                views.append(v.reshape(k, co))
-    rhs = jnp.concatenate(views, axis=1)  # [K, 27*Co]
-    part = lax.dot_general(lhs, rhs, (((0,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+    # split=1: ONE [K, 27*Co] dot (widest N, biggest concat).  split=3:
+    # one [K, 9*Co] dot per kd (N=9*Co, a third of the concat working set
+    # per dot) — which wins on-chip is measured by bench_bwd_convs.py.
+    taps_per = 27 // split
+    for part_i in range(split):
+        views = []
+        for t in range(part_i * taps_per, (part_i + 1) * taps_per):
+            kd, kh, kw = t // 9, (t // 3) % 3, t % 3
+            v = lax.slice(sl, (2 - kd, 2 - kh, 2 - kw, 0),
+                          (2 - kd + dd, 2 - kh + hh, 2 - kw + w, co))
+            views.append(v.reshape(k, co))
+        rhs = jnp.concatenate(views, axis=1)  # [K, taps_per*Co]
+        part = lax.dot_general(lhs, rhs, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+        lo = part_i * taps_per * co
 
-    @pl.when(step == 0)
-    def _():
-        out_ref[...] = part
+        @pl.when(step == 0)
+        def _(part=part, lo=lo):
+            out_ref[:, lo:lo + taps_per * co] = part
 
-    @pl.when(step != 0)
-    def _():
-        out_ref[...] += part
+        @pl.when(step != 0)
+        def _(part=part, lo=lo):
+            out_ref[:, lo:lo + taps_per * co] += part
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _dw_pallas(x: jax.Array, gp: jax.Array,
                dims: Tuple[int, ...]) -> jax.Array:
-    n, d, h, w, ci, co, dd, hh = dims
-    kern = functools.partial(_dw_kernel, dd=dd, hh=hh, w=w, ci=ci, co=co)
+    n, d, h, w, ci, co, dd, hh, split = dims
+    kern = functools.partial(_dw_kernel, dd=dd, hh=hh, w=w, ci=ci, co=co,
+                             split=split)
     acc = pl.pallas_call(
         kern,
         grid=(n, d // dd, h // hh),
@@ -184,18 +190,20 @@ def _dw_pallas(x: jax.Array, gp: jax.Array,
     return acc
 
 
-def conv3d_dw(x: jax.Array, g: jax.Array) -> jax.Array:
+def conv3d_dw(x: jax.Array, g: jax.Array, split: int = 1) -> jax.Array:
     """dW of a k=3/s=1/p=1 NDHWC conv: [3, 3, 3, Ci, Co] in f32.
 
     x: [N, D, H, W, Ci] conv input; g: [N, D, H, W, Co] output cotangent.
+    split: 1 or 3 — number of dots the 27-tap rhs is built in (see kernel).
     """
+    assert 27 % split == 0, split
     n, d, h, w, ci = x.shape
     co = g.shape[-1]
     tiles = _tiles(d, h, w, co, g.dtype.itemsize)
     assert tiles is not None, (x.shape, g.shape)
     dd, hh = tiles
     gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    acc = _dw_pallas(x, gp, (n, d, h, w, ci, co, dd, hh))
+    acc = _dw_pallas(x, gp, (n, d, h, w, ci, co, dd, hh, split))
     # [Ci, 27*Co] -> [27, Ci, Co] -> [3, 3, 3, Ci, Co]; tap t = kd*9+kh*3+kw.
     return acc.reshape(ci, 27, co).transpose(1, 0, 2).reshape(3, 3, 3, ci, co)
 

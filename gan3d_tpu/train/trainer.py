@@ -203,9 +203,12 @@ class Trainer:
                         return fn(state, reals, base_key)
 
                     self._step = sg_step
+                    self._jit_programs = {"fused": step_plain,
+                                          "fused_reg": step_reg}
                 else:
                     step_only = _jit_fused(True, False)
                     self._step = lambda s, r, k, i: step_only(s, r, k)
+                    self._jit_programs = {"fused": step_only}
             else:
                 def _jit_split(r1, pl):
                     d_fn, g_fn = build_stylegan_split_steps(
@@ -239,6 +242,9 @@ class Trainer:
                     return state, {**d_metrics, **g_metrics}, fake
 
                 self._step = sg_split_step
+                self._jit_programs = {"d": plain_fns[0], "g": plain_fns[1],
+                                      "d_reg": reg_fns[0],
+                                      "g_reg": reg_fns[1]}
         elif cfg.fused_step:
             step_fn = build_train_step(cfg, self.G, self.D, self.g_tx,
                                        self.d_tx)

@@ -142,14 +142,18 @@ def main():
     ap.add_argument("--fast", choices=["auto", "on", "off"], default="auto",
                     help="force fast_upconv/fast_downconv (TPU defaults "
                          "resolve to on; CPU auto = off)")
+    ap.add_argument("--family", default="biggan",
+                    choices=["biggan", "stylegan2"])
     a = ap.parse_args()
 
-    cfg = Config(biggan=True, hinge=True, resolution=a.resolution,
+    fam_kw = ({"stylegan2": True} if a.family == "stylegan2"
+              else {"biggan": True, "hinge": True})
+    cfg = Config(resolution=a.resolution,
                  filterG=64, filterD=64, z_size=512, batch_size=a.batch,
                  iterD=2, fid_in_loop=False,
                  fast_upconv=a.fast, fast_downconv=a.fast,
                  log_dir=tempfile.mkdtemp(prefix="hlo_"),
-                 data_loader_workers=1)
+                 data_loader_workers=1, **fam_kw)
     tr = Trainer(_ZeroDataset(4 * a.batch, a.resolution), cfg)
     reals_shape = jax.ShapeDtypeStruct(
         (cfg.iterD, a.batch, a.resolution, a.resolution, a.resolution, 1),

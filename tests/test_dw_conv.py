@@ -40,8 +40,11 @@ def test_dw_parity(n, spatial, cin, cout):
         lambda w_: jnp.vdot(_plain(x, w_), g))(w0)
     with pltpu.force_tpu_interpret_mode():
         got = dw_conv.conv3d_dw(x, g)
+        got3 = dw_conv.conv3d_dw(x, g, split=3)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
 

@@ -88,7 +88,8 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
             filters: int = 64, remat: bool = False, channel_ratio: int = 4,
             family: str = "biggan", fused: bool = True,
             fast_conv: str = "auto", remat_scope: str = "block",
-            xla_vmem: int = -1, fast_dw: str = "auto") -> float:
+            xla_vmem: int = -1, fast_dw: str = "auto",
+            wide_conv: str = "auto") -> float:
     import tempfile
 
     import jax
@@ -103,7 +104,8 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
                  z_size=512, batch_size=batch_size, iterD=2, remat=remat,
                  remat_scope=remat_scope,
                  channel_ratio=channel_ratio, fused_step=fused,
-                 fast_conv=fast_conv, fast_dw=fast_dw, fid_in_loop=False,
+                 fast_conv=fast_conv, fast_dw=fast_dw, wide_conv=wide_conv,
+                 fid_in_loop=False,
                  xla_vmem_limit_kib=xla_vmem,
                  log_dir=tempfile.mkdtemp(prefix="bench_"),
                  data_loader_workers=1, **fam_kw)
@@ -166,6 +168,9 @@ def main() -> None:
                    choices=["auto", "on", "off"],
                    help="Pallas wide-N weight-gradient kernel for the k=3 "
                         "convs (ops/dw_conv.py)")
+    p.add_argument("--wide_conv", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Pallas transposed-layout conv (ops/wide_conv.py)")
     p.add_argument("--channel_ratio", type=int, default=4,
                    help="bottleneck shrink (4 = reference; smaller = wider "
                         "hidden convs, better MXU utilization)")
@@ -195,7 +200,7 @@ def main() -> None:
         try:
             vps = measure(b, iters, warmup, a.resolution, a.filters, remat,
                           a.channel_ratio, a.family, fused, a.fast_conv,
-                          a.remat_scope, a.xla_vmem, a.fast_dw)
+                          a.remat_scope, a.xla_vmem, a.fast_dw, a.wide_conv)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback

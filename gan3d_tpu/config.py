@@ -155,6 +155,12 @@ class Config:
                                  # on TPU — docs/PERF.md). "auto" = on for
                                  # TPU; "on"/"off" force. Same params /
                                  # numerics (mod f32 order).
+    wide_conv: str = "auto"      # Pallas transposed-layout conv for the
+                                 # narrow k=3/s=1/p=1 convs
+                                 # (ops/wide_conv.py): out^T = W2 @ X27 with
+                                 # N=spatial (all MXU lanes), Pallas fwd/dx/
+                                 # dW. "auto" = measured winner per backend;
+                                 # "on"/"off" force.
     fast_dw: str = "auto"        # Pallas wide-N weight-gradient kernel for
                                  # the k=3/s=1/p=1 convs (ops/dw_conv.py):
                                  # dW as one [Ci,K]@[K,27*Co] GEMM (all MXU

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gan3d_tpu.ops import dw_conv, lane_conv
+from gan3d_tpu.ops import dw_conv, lane_conv, wide_conv
 
 IntOr3 = Union[int, Sequence[int]]
 
@@ -58,6 +58,9 @@ def conv3d(
             if lane_conv.lane_conv_mode() == "bwd":
                 return lane_conv.hybrid_conv3d(x, w, t)
             return lane_conv.lane_conv3d(x, w, t, lane_conv.lane_conv_variant())
+    if (wide_conv.wide_conv_enabled()
+            and wide_conv.eligible(x.shape, w.shape, s, p, d, groups)):
+        return wide_conv.wide_conv3d(x, w)
     if (dw_conv.fast_dw_enabled()
             and dw_conv.eligible(x.shape, w.shape, s, p, d, groups)):
         return dw_conv.conv3d_k3_dw(x, w)

@@ -65,10 +65,12 @@ class Trainer:
         from gan3d_tpu.ops.dw_conv import set_fast_dw_mode
         from gan3d_tpu.ops.lane_conv import set_lane_conv_mode
         from gan3d_tpu.ops.upsample_conv import set_fast_upconv_mode
+        from gan3d_tpu.ops.wide_conv import set_wide_conv_mode
         set_lane_conv_mode(cfg.fast_conv)
         set_fast_upconv_mode(cfg.fast_upconv)
         set_fast_downconv_mode(cfg.fast_downconv)
         set_fast_dw_mode(cfg.fast_dw)
+        set_wide_conv_mode(cfg.wide_conv)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):

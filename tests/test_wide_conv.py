@@ -1,0 +1,91 @@
+"""Parity tests for the transposed-layout wide-N conv (ops/wide_conv.py).
+
+Runs in Pallas interpret mode on CPU (tests/conftest.py forces the CPU
+backend); the go/no-go numbers live in scripts/bench_wide_conv.py runs on
+the chip (docs/PERF.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+from jax.experimental.pallas import tpu as pltpu
+
+from gan3d_tpu.ops import wide_conv
+from gan3d_tpu.ops.conv3d import conv3d
+
+
+def _plain(x, w):
+    return lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+
+
+@pytest.mark.parametrize(
+    "n,spatial,cin,cout",
+    [(2, (4, 4, 8), 16, 16),
+     (1, (3, 5, 8), 8, 16),      # non-cubic, odd depth
+     (1, (8, 4, 4), 16, 32),     # multi-row tiles
+     (2, (2, 8, 8), 32, 8)],
+)
+def test_forward_parity(n, spatial, cin, cout):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, *spatial, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) / np.sqrt(27 * cin),
+                    jnp.float32)
+    ref = _plain(x, w)
+    with pltpu.force_tpu_interpret_mode():
+        got = wide_conv.wide_conv3d(x, w)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grad_parity():
+    """dx (wide kernel, swapped weights) + dW (dw_conv kernel) vs autodiff."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 16, 8)) / np.sqrt(27 * 16),
+                    jnp.float32)
+
+    def loss_plain(x, w):
+        return jnp.sum(jnp.tanh(_plain(x, w)))
+
+    def loss_wide(x, w):
+        return jnp.sum(jnp.tanh(wide_conv.wide_conv3d(x, w)))
+
+    gx_r, gw_r = jax.grad(loss_plain, argnums=(0, 1))(x, w)
+    with pltpu.force_tpu_interpret_mode():
+        gx_p, gw_p = jax.grad(loss_wide, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv3d_routes_when_enabled():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 8, 8)), jnp.float32)
+    try:
+        wide_conv.set_wide_conv_mode("on")
+        with pltpu.force_tpu_interpret_mode():
+            y = conv3d(x, w, stride=1, padding=1)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(_plain(x, w)),
+                                   rtol=1e-4, atol=1e-4)
+        # ineligible (stride 2) still takes the plain path (no interpret ctx)
+        y2 = conv3d(x, w, stride=2, padding=1)
+        assert y2.shape == (1, 2, 2, 4, 8)
+    finally:
+        wide_conv.set_wide_conv_mode("auto")
+
+
+def test_eligibility():
+    ok = ((2, 8, 8, 8, 16), (3, 3, 3, 16, 16))
+    assert wide_conv.eligible(*ok, (1, 1, 1), (1, 1, 1), (1, 1, 1), 1)
+    assert not wide_conv.eligible(ok[0], ok[1],
+                                  (2, 2, 2), (1, 1, 1), (1, 1, 1), 1)
+    assert not wide_conv.eligible(ok[0], (1, 1, 1, 16, 16),
+                                  (1, 1, 1), (0, 0, 0), (1, 1, 1), 1)

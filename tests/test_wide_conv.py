@@ -82,6 +82,25 @@ def test_conv3d_routes_when_enabled():
         wide_conv.set_wide_conv_mode("auto")
 
 
+def test_under_remat():
+    """jax.checkpoint over the fully-Pallas conv (the 128^3 remat path)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 8, 8)) / np.sqrt(27 * 8),
+                    jnp.float32)
+
+    def f(x, w):
+        return jnp.sum(jnp.tanh(wide_conv.wide_conv3d(x, w)) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_plain = jax.grad(f, argnums=(0, 1))(x, w)
+        g_remat = jax.grad(
+            lambda x, w: jax.checkpoint(f)(x, w), argnums=(0, 1))(x, w)
+    for a, b in zip(g_plain, g_remat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_eligibility():
     ok = ((2, 8, 8, 8, 16), (3, 3, 3, 16, 16))
     assert wide_conv.eligible(*ok, (1, 1, 1), (1, 1, 1), (1, 1, 1), 1)

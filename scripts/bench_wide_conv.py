@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--blocks", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="also validate jax.checkpoint over the kernel "
+                         "(the 128^3 path; not expressible in interpret "
+                         "mode — tests/test_wide_conv.py)")
     a = ap.parse_args()
     print(f"# backend={jax.default_backend()} batch={a.batch}", flush=True)
     rng = np.random.default_rng(0)
@@ -91,6 +95,22 @@ def main():
               f"fwd+bwd XLA {t_xb:.2f} ms ({3*gf/t_xb:.1f} TF/s) | wide "
               f"{t_wb:.2f} ms ({3*gf/t_wb:.1f} TF/s, {t_xb/t_wb:.2f}x) | "
               f"max|diff| {err:.3g}", flush=True)
+
+    if a.remat:
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 16)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, 16, 16)) / 21,
+                        jnp.bfloat16)
+
+        def f(x, w):
+            return jnp.sum(wide_conv.wide_conv3d(x, w).astype(jnp.float32))
+
+        g1 = jax.jit(jax.grad(f, argnums=(0, 1)))(x, w)
+        g2 = jax.jit(jax.grad(lambda x, w: jax.checkpoint(f)(x, w),
+                              argnums=(0, 1)))(x, w)
+        err = max(float(jnp.max(jnp.abs(a_.astype(jnp.float32)
+                                        - b_.astype(jnp.float32))))
+                  for a_, b_ in zip(g1, g2))
+        print(f"remat-over-kernel parity: max|diff| {err:.3g}", flush=True)
 
     if a.blocks:
         from scripts.bench_block_conv import bench_block  # noqa: E402

@@ -11,7 +11,7 @@ until grep -q "^\[mq2\] done" /tmp/mq2.log 2>/dev/null; do sleep 60; done
 echo "[mq3] stage 2 done $(date +%H:%M)"
 
 echo "[mq3] 1/2 wide-conv isolated + block A/B"
-timeout 5400 python scripts/bench_wide_conv.py --iters 20 --blocks \
+timeout 5400 python scripts/bench_wide_conv.py --iters 20 --blocks --remat \
   > /tmp/mq3_wide.out 2> /tmp/mq3_wide.err
 tail -20 /tmp/mq3_wide.out
 

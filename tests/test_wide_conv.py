@@ -83,7 +83,14 @@ def test_conv3d_routes_when_enabled():
 
 
 def test_under_remat():
-    """jax.checkpoint over the fully-Pallas conv (the 128^3 remat path)."""
+    """jax.checkpoint over the fully-Pallas conv (the 128^3 remat path).
+
+    Interpret mode implements pallas_call with ordered io-callbacks, whose
+    effects `jax.checkpoint` partial-eval rejects — so this can only run
+    against the real Mosaic lowering; on CPU it asserts that exact
+    limitation (a behavior change would be worth noticing) and the on-chip
+    coverage lives in scripts/bench_wide_conv.py --remat.
+    """
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, 8)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(3, 3, 3, 8, 8)) / np.sqrt(27 * 8),
@@ -92,10 +99,15 @@ def test_under_remat():
     def f(x, w):
         return jnp.sum(jnp.tanh(wide_conv.wide_conv3d(x, w)) ** 2)
 
-    with pltpu.force_tpu_interpret_mode():
-        g_plain = jax.grad(f, argnums=(0, 1))(x, w)
-        g_remat = jax.grad(
-            lambda x, w: jax.checkpoint(f)(x, w), argnums=(0, 1))(x, w)
+    if jax.default_backend() != "tpu":
+        with pltpu.force_tpu_interpret_mode():
+            with pytest.raises(NotImplementedError):
+                jax.grad(lambda x, w: jax.checkpoint(f)(x, w),
+                         argnums=(0, 1))(x, w)
+        return
+    g_plain = jax.grad(f, argnums=(0, 1))(x, w)
+    g_remat = jax.grad(
+        lambda x, w: jax.checkpoint(f)(x, w), argnums=(0, 1))(x, w)
     for a, b in zip(g_plain, g_remat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)

@@ -94,6 +94,10 @@ def eligible(x_shape, w_shape, stride, padding, dilation, groups) -> bool:
         return False
     n, d, h, w, ci = x_shape
     co = w_shape[4]
+    if ci < 8 or co < 8:
+        # ci is the GEMM's M (streamed rows): at ci=1 (the D input conv)
+        # the wide form degenerates; XLA's conv-form dW is fine there.
+        return False
     if _tiles(d, h, w, co, 2) is None:
         return False
     return True

@@ -85,6 +85,10 @@ def eligible(x_shape, w_shape, stride, padding, dilation, groups) -> bool:
         return False
     n, d, h, w, ci = x_shape
     co = w_shape[4]
+    if ci < 8 or co < 8:
+        # at ci=1 (the D input conv) K collapses to 27 and the dot is
+        # latency-bound; leave such convs to XLA.
+        return False
     # both directions of the VJP run the kernel (dx swaps ci<->co)
     if _tile_rows(d, h, w, ci, 2) is None:
         return False

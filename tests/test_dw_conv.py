@@ -97,6 +97,22 @@ def test_conv3d_routes_when_enabled():
         dw_conv.set_fast_dw_mode("auto")
 
 
+def test_dw_parity_bf16():
+    """The TPU path runs bf16 inputs with f32 accumulation."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 16)), jnp.bfloat16)
+    g = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 16)), jnp.bfloat16)
+    w0 = jnp.zeros((3, 3, 3, 16, 16), jnp.bfloat16)
+    ref = jax.grad(lambda w_: jnp.vdot(
+        _plain(x, w_).astype(jnp.float32),
+        g.astype(jnp.float32)))(w0).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = dw_conv.conv3d_dw(x, g)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)
+
+
 def test_custom_vjp_under_remat():
     """jax.checkpoint over the custom-VJP conv (the 128^3 remat path)."""
     rng = np.random.default_rng(3)

@@ -43,6 +43,20 @@ def test_forward_parity(n, spatial, cin, cout):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_forward_parity_bf16():
+    """The TPU path runs bf16 inputs; kernel accumulates f32."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 16)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 16, 16)) / np.sqrt(27 * 16),
+                    jnp.bfloat16)
+    ref = _plain(x, w).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = wide_conv.wide_conv3d(x, w).astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)
+
+
 def test_grad_parity():
     """dx (wide kernel, swapped weights) + dW (dw_conv kernel) vs autodiff."""
     rng = np.random.default_rng(1)

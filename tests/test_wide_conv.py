@@ -127,6 +127,49 @@ def test_under_remat():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_full_train_step_parity(tmp_path):
+    """One fused BigGAN step with wide_conv+fast_dw on (interpret) vs off.
+
+    Catches step-machinery interactions the op tests can't: SN-wrapped
+    kernels, optimizer/EMA through the custom VJPs, donated buffers.
+    filterG/D=32 so the bottleneck convs (hidden = ch/4 >= 8) clear the
+    min-channel eligibility gate.
+    """
+    import os
+
+    from gan3d_tpu.config import Config
+    from gan3d_tpu.data.datasets import NpzDataset
+    from gan3d_tpu.ops import dw_conv as dwm
+    from gan3d_tpu.train import Trainer
+
+    x = np.random.default_rng(0).normal(size=(8, 16, 16, 16)).astype(
+        np.float32)
+    path = str(tmp_path / "train.npz")
+    np.savez(path, X=np.clip(x, -1, 1))
+
+    def run(mode, sub):
+        cfg = Config(resolution=16, z_size=16, filterG=32, filterD=32,
+                     batch_size=2, niters=1, iterD=1, steps_per_log=1,
+                     biggan=True, hinge=True, compute_dtype="float32",
+                     wide_conv=mode, fast_dw=mode, num_devices=1,
+                     log_dir=str(tmp_path / sub), data_loader_workers=1)
+        t = Trainer(NpzDataset(path), cfg)
+        reals = jnp.asarray(
+            np.stack([x[:2]])[..., None], jnp.float32)  # [iterD,2,16^3,1]
+        state, metrics, _ = t._step(t.state, reals, t._base_key, 0)
+        out = {k: float(v) for k, v in metrics.items()}
+        t.loader.close()
+        return out
+
+    m_off = run("off", "off")
+    with pltpu.force_tpu_interpret_mode():
+        m_on = run("on", "on")
+    assert set(m_on) == set(m_off)
+    for k in m_off:
+        np.testing.assert_allclose(m_on[k], m_off[k], rtol=2e-3, atol=2e-3,
+                                   err_msg=k)
+
+
 def test_eligibility():
     ok = ((2, 8, 8, 8, 16), (3, 3, 3, 16, 16))
     assert wide_conv.eligible(*ok, (1, 1, 1), (1, 1, 1), (1, 1, 1), 1)

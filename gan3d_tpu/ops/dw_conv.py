@@ -22,7 +22,7 @@ across steps (TPU grids are sequential); the slab is double-buffered with
 manual DMA like ops/pallas_conv.py.
 
 Gated behind ``fast_dw`` ("auto" = measured winner per backend; off until
-scripts/bench_bwd_convs.py --pallas demonstrates a win on TPU).  The
+scripts/bench_bwd_convs.py demonstrates a win on TPU).  The
 custom-VJP wrapper keeps the forward and dx EXACTLY what jax.vjp emits for
 the plain conv; only dW takes the Pallas path (f32 accumulation — at least
 as accurate as XLA's conv-form dW).  Parity: tests/test_dw_conv.py.
@@ -98,7 +98,10 @@ def eligible(x_shape, w_shape, stride, padding, dilation, groups) -> bool:
         # ci is the GEMM's M (streamed rows): at ci=1 (the D input conv)
         # the wide form degenerates; XLA's conv-form dW is fine there.
         return False
-    if _tiles(d, h, w, co, 2) is None:
+    # itemsize 4 = the widest dtype the train paths run (f32); the runtime
+    # _tiles call uses the actual dtype and conv3d_dw falls back to XLA's
+    # form if an exotic dtype still overflows the budget.
+    if _tiles(d, h, w, co, 4) is None:
         return False
     return True
 
@@ -204,7 +207,11 @@ def conv3d_dw(x: jax.Array, g: jax.Array, split: int = 1) -> jax.Array:
     n, d, h, w, ci = x.shape
     co = g.shape[-1]
     tiles = _tiles(d, h, w, co, g.dtype.itemsize)
-    assert tiles is not None, (x.shape, g.shape)
+    if tiles is None:
+        # rhs tile would overflow VMEM at this dtype — XLA's conv-form dW
+        wz = jnp.zeros((3, 3, 3, ci, co), x.dtype)
+        _, vjp = jax.vjp(lambda w_: _plain_conv(x, w_), wz)
+        return vjp(g.astype(x.dtype))[0].astype(jnp.float32)
     dd, hh = tiles
     gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     acc = _dw_pallas(x, gp, (n, d, h, w, ci, co, dd, hh, split))

@@ -89,10 +89,11 @@ def eligible(x_shape, w_shape, stride, padding, dilation, groups) -> bool:
         # at ci=1 (the D input conv) K collapses to 27 and the dot is
         # latency-bound; leave such convs to XLA.
         return False
-    # both directions of the VJP run the kernel (dx swaps ci<->co)
-    if _tile_rows(d, h, w, ci, 2) is None:
+    # both directions of the VJP run the kernel (dx swaps ci<->co);
+    # itemsize 4 = widest train dtype, _wide_fwd falls back beyond it
+    if _tile_rows(d, h, w, ci, 4) is None:
         return False
-    if _tile_rows(d, h, w, co, 2) is None:
+    if _tile_rows(d, h, w, co, 4) is None:
         return False
     return dw_conv.eligible(x_shape, w_shape, stride, padding, dilation,
                             groups)
@@ -174,7 +175,11 @@ def _wide_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
     n, d, h, wd, ci = x.shape
     co = w.shape[4]
     dd = _tile_rows(d, h, wd, ci, x.dtype.itemsize)
-    assert dd is not None, (x.shape, w.shape)
+    if dd is None:
+        # X27 tile would overflow VMEM at this dtype — plain XLA conv
+        return lax.conv_general_dilated(
+            x, w, window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+            dimension_numbers=_DN, preferred_element_type=x.dtype)
     xt = jnp.transpose(x, (0, 4, 1, 2, 3))
     xt = jnp.pad(xt, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
     w2 = w.reshape(27 * ci, co).T  # [Co, 27*Ci]; row tap*Ci+c = w[k..., c, :]

@@ -76,7 +76,6 @@ def main():
         gf = 2 * a.batch * dim ** 3 * ch * ch * 27 / 1e9
 
         t_xf = time_fn(plain, (x, w), a.iters)
-        t_wf = time_fn(wide_conv.wide_conv3d, (x, w), a.iters)
 
         def loss_x(x, w):
             return jnp.sum(plain(x, w).astype(jnp.float32))
@@ -85,16 +84,24 @@ def main():
             return jnp.sum(wide_conv.wide_conv3d(x, w).astype(jnp.float32))
 
         t_xb = time_fn(jax.grad(loss_x, argnums=(0, 1)), (x, w), a.iters)
-        t_wb = time_fn(jax.grad(loss_w, argnums=(0, 1)), (x, w), a.iters)
-
-        y1 = jax.jit(plain)(x, w).astype(jnp.float32)
-        y2 = jax.jit(wide_conv.wide_conv3d)(x, w).astype(jnp.float32)
-        err = float(jnp.max(jnp.abs(y1 - y2)))
-        print(f"{name}: fwd XLA {t_xf:.2f} ms ({gf/t_xf:.1f} TF/s) | wide "
-              f"{t_wf:.2f} ms ({gf/t_wf:.1f} TF/s, {t_xf/t_wf:.2f}x) || "
-              f"fwd+bwd XLA {t_xb:.2f} ms ({3*gf/t_xb:.1f} TF/s) | wide "
-              f"{t_wb:.2f} ms ({3*gf/t_wb:.1f} TF/s, {t_xb/t_wb:.2f}x) | "
-              f"max|diff| {err:.3g}", flush=True)
+        line = f"{name}: fwd XLA {t_xf:.2f} ms ({gf/t_xf:.1f} TF/s)"
+        # first Mosaic compile of the kernel happens here — keep the XLA
+        # rows even if it rejects
+        try:
+            t_wf = time_fn(wide_conv.wide_conv3d, (x, w), a.iters)
+            t_wb = time_fn(jax.grad(loss_w, argnums=(0, 1)), (x, w), a.iters)
+            y1 = jax.jit(plain)(x, w).astype(jnp.float32)
+            y2 = jax.jit(wide_conv.wide_conv3d)(x, w).astype(jnp.float32)
+            err = float(jnp.max(jnp.abs(y1 - y2)))
+            line += (f" | wide {t_wf:.2f} ms ({gf/t_wf:.1f} TF/s, "
+                     f"{t_xf/t_wf:.2f}x) || fwd+bwd XLA {t_xb:.2f} ms "
+                     f"({3*gf/t_xb:.1f} TF/s) | wide {t_wb:.2f} ms "
+                     f"({3*gf/t_wb:.1f} TF/s, {t_xb/t_wb:.2f}x) | "
+                     f"max|diff| {err:.3g}")
+        except Exception as e:  # noqa: BLE001 — record and continue
+            line += (f" || fwd+bwd XLA {t_xb:.2f} ms | wide FAILED: "
+                     f"{type(e).__name__}: {str(e)[:160]}")
+        print(line, flush=True)
 
     if a.remat:
         x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 16)), jnp.bfloat16)

@@ -155,6 +155,13 @@ class Config:
                                  # on TPU — docs/PERF.md). "auto" = on for
                                  # TPU; "on"/"off" force. Same params /
                                  # numerics (mod f32 order).
+    downconv_vjp: str = "auto"   # backward form for the fused downconvs:
+                                 # "custom" = collapsed uniform-kernel VJP
+                                 # (dx = one GEMM + nearest-upsample, dW =
+                                 # avgpool(x)^T @ g), "autodiff" = XLA's
+                                 # lhs_dilate=2 conv forms, "auto" = the
+                                 # measured step-level winner (docs/PERF.md
+                                 # — custom_vjp is also a fusion boundary).
     wide_conv: str = "auto"      # Pallas transposed-layout conv for the
                                  # narrow k=3/s=1/p=1 convs
                                  # (ops/wide_conv.py): out^T = W2 @ X27 with

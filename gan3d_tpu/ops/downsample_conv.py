@@ -88,13 +88,32 @@ def _upsample2(g: jax.Array) -> jax.Array:
     return g.reshape(n, 2 * d, 2 * h, 2 * wd, c)
 
 
-@jax.custom_vjp
-def avgpool_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
-    """avg_pool3d(x, 2) then 1x1 conv, fused as one k=2/s=2 conv.
+# The collapsed backward is exact but sits behind a custom_vjp boundary,
+# which stops XLA from fusing the cotangent math with neighboring ops —
+# the same isolated-win/step-loss hazard lane packing hit.  The knob lets
+# the step-level A/B (bench.py --downconv_vjp) decide; read at TRACE time.
+_VJP_MODE = os.environ.get("GAN3D_DOWNCONV_VJP", "auto")
 
-    x: [N, D, H, W, Cin]; w: [1, 1, 1, Cin, Cout] (torch Conv3d semantics).
-    Returns [N, D/2, H/2, W/2, Cout].
-    """
+
+def set_downconv_vjp_mode(mode: str) -> None:
+    global _VJP_MODE
+    assert mode in ("custom", "autodiff", "auto"), mode
+    _VJP_MODE = mode
+
+
+def downconv_vjp_custom() -> bool:
+    if _VJP_MODE == "auto":
+        # Measured step-level A/B (docs/PERF.md): the collapsed VJP LOSES
+        # at 64^3 (19.14 vs 20.10 vol/s — the custom_vjp fusion boundary
+        # costs more than the saved FLOPs) but WINS at 128^3 split mode
+        # (0.962 vs 0.874 — recompute-dominated, fusion matters less).
+        # The Trainer resolves "auto" by cfg.resolution before tracing
+        # (trainer.py); bare-module auto defaults to the flagship winner.
+        return False
+    return _VJP_MODE == "custom"
+
+
+def _avgpool_conv3d_impl(x: jax.Array, w: jax.Array) -> jax.Array:
     ci, co = w.shape[3], w.shape[4]
     w2 = jnp.broadcast_to(w[0, 0, 0] / 8, (2, 2, 2, ci, co))
     return lax.conv_general_dilated(x, w2, (2, 2, 2), [(0, 0)] * 3,
@@ -102,8 +121,11 @@ def avgpool_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
                                     preferred_element_type=x.dtype)
 
 
+_avgpool_conv3d_cv = jax.custom_vjp(_avgpool_conv3d_impl)
+
+
 def _ap_fwd(x, w):
-    return avgpool_conv3d(x, w), (x, w)
+    return _avgpool_conv3d_impl(x, w), (x, w)
 
 
 def _ap_bwd(res, g):
@@ -123,18 +145,22 @@ def _ap_bwd(res, g):
     return dx.astype(x.dtype), dw0[None, None, None].astype(w.dtype)
 
 
-avgpool_conv3d.defvjp(_ap_fwd, _ap_bwd)
+_avgpool_conv3d_cv.defvjp(_ap_fwd, _ap_bwd)
 
 
-@jax.custom_vjp
-def avgpool_concat_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
-    """`concat([avgpool2(x), conv1x1(w)(avgpool2(x))], -1)` as ONE conv.
+def avgpool_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
+    """avg_pool3d(x, 2) then 1x1 conv, fused as one k=2/s=2 conv.
 
-    x: [N, D, H, W, Cin]; w: [1, 1, 1, Cin, Extra].
-    Returns [N, D/2, H/2, W/2, Cin + Extra]: channels [:Cin] are the pooled
-    input (identity/8 kernel block), channels [Cin:] the conv_sc output —
-    the DBlockDeep shortcut (reference utils.py:108-117) in a single pass.
+    x: [N, D, H, W, Cin]; w: [1, 1, 1, Cin, Cout] (torch Conv3d semantics).
+    Returns [N, D/2, H/2, W/2, Cout].  Backward is the collapsed custom VJP
+    or plain autodiff per ``downconv_vjp_custom()``.
     """
+    if downconv_vjp_custom():
+        return _avgpool_conv3d_cv(x, w)
+    return _avgpool_conv3d_impl(x, w)
+
+
+def _avgpool_concat_conv3d_impl(x: jax.Array, w: jax.Array) -> jax.Array:
     ci, extra = w.shape[3], w.shape[4]
     eye = jnp.eye(ci, dtype=x.dtype) / 8
     ident = jnp.broadcast_to(eye, (2, 2, 2, ci, ci))
@@ -146,8 +172,11 @@ def avgpool_concat_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
                                     preferred_element_type=x.dtype)
 
 
+_avgpool_concat_conv3d_cv = jax.custom_vjp(_avgpool_concat_conv3d_impl)
+
+
 def _apc_fwd(x, w):
-    return avgpool_concat_conv3d(x, w), (x, w)
+    return _avgpool_concat_conv3d_impl(x, w), (x, w)
 
 
 def _apc_bwd(res, g):
@@ -169,4 +198,19 @@ def _apc_bwd(res, g):
     return dx.astype(x.dtype), dw0[None, None, None].astype(w.dtype)
 
 
-avgpool_concat_conv3d.defvjp(_apc_fwd, _apc_bwd)
+_avgpool_concat_conv3d_cv.defvjp(_apc_fwd, _apc_bwd)
+
+
+def avgpool_concat_conv3d(x: jax.Array, w: jax.Array) -> jax.Array:
+    """`concat([avgpool2(x), conv1x1(w)(avgpool2(x))], -1)` as ONE conv.
+
+    x: [N, D, H, W, Cin]; w: [1, 1, 1, Cin, Extra].
+    Returns [N, D/2, H/2, W/2, Cin + Extra]: channels [:Cin] are the pooled
+    input (identity/8 kernel block), channels [Cin:] the conv_sc output —
+    the DBlockDeep shortcut (reference utils.py:108-117) in a single pass.
+    Gradients flow through the conv_sc weight only — the identity block is
+    constant — matching the composed formulation.
+    """
+    if downconv_vjp_custom():
+        return _avgpool_concat_conv3d_cv(x, w)
+    return _avgpool_concat_conv3d_impl(x, w)

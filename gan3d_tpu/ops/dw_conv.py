@@ -14,12 +14,28 @@ shifts moved onto the padded OUTPUT gradient,
     dW[k, ci, co] = sum_s x[s, ci] * gpad[s + 2 - k, co]        (per axis)
 
 so dW is ONE wide GEMM  [Ci, K] @ [K, 27*Co]  (N = 864 at Co=32 — every
-MXU lane live) whose rhs is 27 shifted views of gpad.  Materializing those
-views in HBM would cost 27x the bytes; this kernel builds them in VMEM from
-a (dD+2, hH+2)-row slab of gpad instead, so HBM traffic stays one pass over
-x and g.  Grid (N, D/dD, H/hH) accumulates the [Ci, 27*Co] product in f32
-across steps (TPU grids are sequential); the slab is double-buffered with
-manual DMA like ops/pallas_conv.py.
+MXU lane live) whose rhs is 27 shifted views of gpad.
+
+Kernel shape (v2 — no manual DMA): this environment's remote Mosaic
+compiler rejects `make_async_copy` whenever the copied view's minor dims
+are not tile-aligned ("Slice shape along dimension 4 must be aligned to
+tiling (128), but is 32" — scripts/probe_mosaic.py isolates it), which
+rules out the original double-buffered halo slab at Co<128.  What it DOES
+accept is the compute core: unaligned `lax.slice` on loaded VALUES, the
+27-way lane concat, and an f32 accumulator output revisited across grid
+steps (probe rungs lane_concat27 / wide_dot_accum).  So the halo is fed
+by standard pipelined BlockSpecs instead:
+
+- the D-axis (kd) shifts become THREE XLA-side views of gpad
+  (``gp[:, kd:kd+D]``), each a pipelined input — Mosaic's automatic
+  double-buffering replaces the hand-rolled DMA;
+- the H/W-axis (kh, kw) shifts are in-kernel value slices of the loaded
+  block (halo columns ride in with the block: H+2, W+2);
+- grid (N, D/dD) with full H,W planes per step accumulates [Ci, 27*Co]
+  in f32 (TPU grids are sequential).
+
+HBM cost vs the DMA design: gpad is read 3x instead of 1x — still far
+under the MXU-bound arithmetic intensity at these shapes.
 
 Gated behind ``fast_dw`` ("auto" = measured winner per backend; off until
 scripts/bench_bwd_convs.py demonstrates a win on TPU).  The
@@ -38,7 +54,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 
@@ -48,10 +63,11 @@ _DN = ("NDHWC", "DHWIO", "NDHWC")
 #   "auto" — measured end-to-end winner per backend (docs/PERF.md)
 _MODE = os.environ.get("GAN3D_FAST_DW", "auto")
 
-# VMEM budget for the materialized [K, 27*Co] rhs tile; the K tile size is
-# chosen so K*27*Co*itemsize stays under this, leaving room for the
-# double-buffered gp slab and x block (both lane-padded to 128 by Mosaic).
-_RHS_BUDGET = 4 << 20
+# VMEM budget (bytes) for the per-step working set: the materialized
+# [K, 27*Co] rhs (the dominant term), the 27 sliced views feeding its
+# concat, the pipelined input blocks (x + 3 gpad views, double-buffered),
+# and the f32 [Ci, 27*Co] accumulator.
+_VMEM_BUDGET = 10 << 20
 
 
 def set_fast_dw_mode(mode: str) -> None:
@@ -62,30 +78,38 @@ def set_fast_dw_mode(mode: str) -> None:
 
 def fast_dw_enabled() -> bool:
     if _MODE == "auto":
-        # Off until the queued TPU measurement decides (bench_bwd_convs.py).
+        # Off until the on-chip step measurement decides (docs/PERF.md).
         return False
     return _MODE == "on"
 
 
-def _tiles(d: int, h: int, w: int, co: int,
-           itemsize: int) -> Optional[Tuple[int, int]]:
-    """(dD, hH) row tiles: dD*hH*W*27*Co*itemsize under the rhs budget."""
-    cap_k = _RHS_BUDGET // (27 * co * itemsize)
-    if cap_k < w:
-        return None
-    if h * w <= cap_k:  # whole plane fits: tile d only
-        dd = min(d, cap_k // (h * w))
-        while d % dd:
-            dd -= 1
-        return dd, h
-    hh = min(h, cap_k // w)
-    while h % hh:
-        hh -= 1
-    return 1, hh
+def _vmem_est(dd: int, h: int, w: int, ci: int, co: int,
+              itemsize: int) -> int:
+    """Working-set estimate (bytes) for a depth tile of dd rows."""
+    k = dd * h * w
+    rhs = k * 27 * co * itemsize            # concat result
+    views = k * 27 * co * itemsize          # sliced views feeding it
+    blocks = 2 * (dd * h * w * ci + 3 * dd * (h + 2) * (w + 2) * co)
+    out = ci * 27 * co * 4
+    return rhs + views + blocks * itemsize + out
+
+
+def _tiles(d: int, h: int, w: int, ci: int, co: int,
+           itemsize: int) -> Optional[int]:
+    """Largest depth tile dd (divides d) whose working set fits the budget."""
+    best = None
+    for dd in range(1, d + 1):
+        if d % dd:
+            continue
+        if _vmem_est(dd, h, w, ci, co, itemsize) <= _VMEM_BUDGET:
+            best = dd
+        else:
+            break
+    return best
 
 
 def eligible(x_shape, w_shape, stride, padding, dilation, groups) -> bool:
-    """k=3, s=1, p=1, no dilation/groups, and the rhs tile fits VMEM."""
+    """k=3, s=1, p=1, no dilation/groups, and the working set fits VMEM."""
     if tuple(stride) != (1, 1, 1) or tuple(padding) != (1, 1, 1):
         return False
     if tuple(dilation) != (1, 1, 1) or groups != 1:
@@ -101,99 +125,75 @@ def eligible(x_shape, w_shape, stride, padding, dilation, groups) -> bool:
     # itemsize 4 = the widest dtype the train paths run (f32); the runtime
     # _tiles call uses the actual dtype and conv3d_dw falls back to XLA's
     # form if an exotic dtype still overflows the budget.
-    if _tiles(d, h, w, co, 4) is None:
+    if _tiles(d, h, w, ci, co, 4) is None:
         return False
     return True
 
 
-def _dw_kernel(x_ref, gp_hbm, out_ref, slab, sems, *, dd: int, hh: int,
-               w: int, ci: int, co: int, split: int = 1):
-    n_i = pl.program_id(0)
-    d_i = pl.program_id(1)
-    h_i = pl.program_id(2)
-    n_d = pl.num_programs(1)
-    n_h = pl.num_programs(2)
-    step = (n_i * n_d + d_i) * n_h + h_i
-    total = pl.num_programs(0) * n_d * n_h
-    slot = lax.rem(step, 2)
+def _dw_kernel(x_ref, gp0_ref, gp1_ref, gp2_ref, out_ref, *, dd: int,
+               h: int, w: int, ci: int, co: int, split: int = 1):
+    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
-    def copy(dst_slot, s):
-        src_n = s // (n_d * n_h)
-        rem = lax.rem(s, n_d * n_h)
-        src_d = rem // n_h
-        src_h = lax.rem(rem, n_h)
-        return pltpu.make_async_copy(
-            gp_hbm.at[src_n, pl.ds(src_d * dd, dd + 2),
-                      pl.ds(src_h * hh, hh + 2)],
-            slab.at[dst_slot],
-            sems.at[dst_slot],
-        )
-
-    @pl.when(step == 0)
-    def _():
-        copy(0, step).start()
-
-    @pl.when(step + 1 < total)
-    def _():
-        copy(lax.rem(step + 1, 2), step + 1).start()
-
-    copy(slot, step).wait()
-
-    k = dd * hh * w
+    k = dd * h * w
     lhs = x_ref[0].reshape(k, ci)
-    sl = slab[slot]  # [dd+2, hh+2, w+2, co]
-    # split=1: ONE [K, 27*Co] dot (widest N, biggest concat).  split=3:
-    # one [K, 9*Co] dot per kd (N=9*Co, a third of the concat working set
-    # per dot) — which wins on-chip is measured by bench_bwd_convs.py.
+    gpr = (gp0_ref, gp1_ref, gp2_ref)
+    # split=1: ONE [K, 27*Co] dot (widest N, biggest concat working set).
+    # split=3: one [K, 9*Co] dot per kd — same math, smaller concats; the
+    # parts are re-concatenated for a single full-width out write (lane-
+    # offset partial writes are not tile-aligned at 9*Co).
     taps_per = 27 // split
+    parts = []
     for part_i in range(split):
         views = []
         for t in range(part_i * taps_per, (part_i + 1) * taps_per):
             kd, kh, kw = t // 9, (t // 3) % 3, t % 3
-            v = lax.slice(sl, (2 - kd, 2 - kh, 2 - kw, 0),
-                          (2 - kd + dd, 2 - kh + hh, 2 - kw + w, co))
+            # tap k reads gpad at offset (2 - k): dW[k] = sum_u x[u] *
+            # gpad[u + 2 - k] (docstring derivation)
+            sl = gpr[2 - kd][0]  # [dd, h+2, w+2, co] (this kd's D shift)
+            v = lax.slice(sl, (0, 2 - kh, 2 - kw, 0),
+                          (dd, 2 - kh + h, 2 - kw + w, co))
             views.append(v.reshape(k, co))
         rhs = jnp.concatenate(views, axis=1)  # [K, taps_per*Co]
-        part = lax.dot_general(lhs, rhs, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-        lo = part_i * taps_per * co
+        parts.append(lax.dot_general(lhs, rhs, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32))
+    part = parts[0] if split == 1 else jnp.concatenate(parts, axis=1)
 
-        @pl.when(step == 0)
-        def _(part=part, lo=lo):
-            out_ref[:, lo:lo + taps_per * co] = part
+    @pl.when(step == 0)
+    def _():
+        out_ref[...] = part
 
-        @pl.when(step != 0)
-        def _(part=part, lo=lo):
-            out_ref[:, lo:lo + taps_per * co] += part
+    @pl.when(step != 0)
+    def _():
+        out_ref[...] += part
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _dw_pallas(x: jax.Array, gp: jax.Array,
                dims: Tuple[int, ...]) -> jax.Array:
-    n, d, h, w, ci, co, dd, hh, split = dims
-    kern = functools.partial(_dw_kernel, dd=dd, hh=hh, w=w, ci=ci, co=co,
+    n, d, h, w, ci, co, dd, split = dims
+    # Three D-shifted views of the padded cotangent: tap kd reads rows
+    # [kd, kd+d) — XLA materializes each once (3x gpad HBM reads total).
+    gps = [lax.slice_in_dim(gp, kd, kd + d, axis=1) for kd in range(3)]
+    kern = functools.partial(_dw_kernel, dd=dd, h=h, w=w, ci=ci, co=co,
                              split=split)
+    gp_spec = pl.BlockSpec((1, dd, h + 2, w + 2, co),
+                           lambda i, j: (i, j, 0, 0, 0))
     acc = pl.pallas_call(
         kern,
-        grid=(n, d // dd, h // hh),
+        grid=(n, d // dd),
         in_specs=[
-            pl.BlockSpec((1, dd, hh, w, ci),
-                         lambda i, j, m: (i, j, m, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),  # gp stays in HBM
+            pl.BlockSpec((1, dd, h, w, ci), lambda i, j: (i, j, 0, 0, 0)),
+            gp_spec, gp_spec, gp_spec,
         ],
-        out_specs=pl.BlockSpec((ci, 27 * co), lambda i, j, m: (0, 0)),
+        out_specs=pl.BlockSpec((ci, 27 * co), lambda i, j: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((ci, 27 * co), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, dd + 2, hh + 2, w + 2, co), gp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * d * h * w * ci * 27 * co,
             bytes_accessed=(x.size * x.dtype.itemsize
-                            + gp.size * gp.dtype.itemsize),
+                            + 3 * gp.size * gp.dtype.itemsize),
             transcendentals=0,
         ),
-    )(x, gp)
+    )(x, *gps)
     return acc
 
 
@@ -206,15 +206,14 @@ def conv3d_dw(x: jax.Array, g: jax.Array, split: int = 1) -> jax.Array:
     assert 27 % split == 0, split
     n, d, h, w, ci = x.shape
     co = g.shape[-1]
-    tiles = _tiles(d, h, w, co, g.dtype.itemsize)
-    if tiles is None:
-        # rhs tile would overflow VMEM at this dtype — XLA's conv-form dW
+    dd = _tiles(d, h, w, ci, co, g.dtype.itemsize)
+    if dd is None:
+        # working set would overflow VMEM at this dtype — XLA's conv-form dW
         wz = jnp.zeros((3, 3, 3, ci, co), x.dtype)
         _, vjp = jax.vjp(lambda w_: _plain_conv(x, w_), wz)
         return vjp(g.astype(x.dtype))[0].astype(jnp.float32)
-    dd, hh = tiles
     gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    acc = _dw_pallas(x, gp, (n, d, h, w, ci, co, dd, hh, split))
+    acc = _dw_pallas(x, gp, (n, d, h, w, ci, co, dd, split))
     # [Ci, 27*Co] -> [27, Ci, Co] -> [3, 3, 3, Ci, Co]; tap t = kd*9+kh*3+kw.
     return acc.reshape(ci, 27, co).transpose(1, 0, 2).reshape(3, 3, 3, ci, co)
 

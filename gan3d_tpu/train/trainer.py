@@ -61,7 +61,8 @@ class Trainer:
 
         # Lane-packed narrow-conv rewrite (ops/lane_conv.py) — set before any
         # model tracing; the flag is read at trace time.
-        from gan3d_tpu.ops.downsample_conv import set_fast_downconv_mode
+        from gan3d_tpu.ops.downsample_conv import (set_downconv_vjp_mode,
+                                                   set_fast_downconv_mode)
         from gan3d_tpu.ops.dw_conv import set_fast_dw_mode
         from gan3d_tpu.ops.lane_conv import set_lane_conv_mode
         from gan3d_tpu.ops.upsample_conv import set_fast_upconv_mode
@@ -69,6 +70,13 @@ class Trainer:
         set_lane_conv_mode(cfg.fast_conv)
         set_fast_upconv_mode(cfg.fast_upconv)
         set_fast_downconv_mode(cfg.fast_downconv)
+        # Measured (docs/PERF.md): the collapsed downconv VJP wins at
+        # 128^3 (+10%, recompute-dominated) and loses at 64^3 (-5%, the
+        # custom_vjp boundary blocks backward fusions).
+        dv = cfg.downconv_vjp
+        if dv == "auto":
+            dv = "custom" if cfg.resolution >= 128 else "autodiff"
+        set_downconv_vjp_mode(dv)
         set_fast_dw_mode(cfg.fast_dw)
         set_wide_conv_mode(cfg.wide_conv)
 

@@ -70,40 +70,48 @@ def test_spatial_fused_tconv_upconv(mesh):
         np.asarray(upsample_conv3d_tconv(x, w)), rtol=1e-5, atol=1e-5)
 
 
-def test_spatial_fused_downconv_and_vjp(mesh):
-    """The fast_downconv fused convs AND their custom VJP (GEMM +
-    nearest-upsample broadcast, ops/downsample_conv.py) under depth
-    sharding: the reshape-based pool/broadcast must survive GSPMD.
-    CPU auto-mode resolves fast_downconv off, so this pins the
-    TPU-default code path explicitly."""
+@pytest.mark.parametrize("vjp_mode", ["custom", "autodiff"])
+def test_spatial_fused_downconv_and_vjp(mesh, vjp_mode):
+    """The fast_downconv fused convs AND both their backward forms (the
+    collapsed custom VJP — the 128^3 TPU default — and plain autodiff,
+    ops/downsample_conv.py) under depth sharding: the reshape-based
+    pool/broadcast must survive GSPMD.  CPU auto-mode resolves
+    fast_downconv off and downconv_vjp to autodiff, so this pins both
+    TPU code paths explicitly."""
     from gan3d_tpu.ops.downsample_conv import (
         avgpool_concat_conv3d,
         avgpool_conv3d,
+        set_downconv_vjp_mode,
     )
 
     x = _vol((2, 16, 8, 8, 4))
     w = _vol((1, 1, 1, 4, 6), seed=5)
-    for op in (avgpool_conv3d, avgpool_concat_conv3d):
-        np.testing.assert_allclose(
-            _run_sharded(mesh, op, x, w), np.asarray(op(x, w)),
-            rtol=1e-5, atol=1e-5, err_msg=op.__name__)
+    set_downconv_vjp_mode(vjp_mode)
+    try:
+        for op in (avgpool_conv3d, avgpool_concat_conv3d):
+            np.testing.assert_allclose(
+                _run_sharded(mesh, op, x, w), np.asarray(op(x, w)),
+                rtol=1e-5, atol=1e-5, err_msg=op.__name__)
 
-        def loss(a, b, _op=op):
-            y = _op(a, b)
-            return jnp.sum(y * jnp.sin(jnp.arange(y.size, dtype=jnp.float32)
-                                       .reshape(y.shape)))
+            def loss(a, b, _op=op):
+                y = _op(a, b)
+                return jnp.sum(
+                    y * jnp.sin(jnp.arange(y.size, dtype=jnp.float32)
+                                .reshape(y.shape)))
 
-        grad = jax.grad(loss, argnums=(0, 1))
-        gx_ref, gw_ref = jax.jit(grad)(x, w)
-        xs = jax.device_put(x, NamedSharding(mesh, P("data", "space")))
-        wr = jax.device_put(w, NamedSharding(mesh, P()))
-        gx_sp, gw_sp = jax.jit(grad)(xs, wr)
-        np.testing.assert_allclose(np.asarray(jax.device_get(gx_sp)),
-                                   np.asarray(gx_ref), rtol=1e-5, atol=1e-5,
-                                   err_msg=op.__name__)
-        np.testing.assert_allclose(np.asarray(jax.device_get(gw_sp)),
-                                   np.asarray(gw_ref), rtol=1e-5, atol=1e-5,
-                                   err_msg=op.__name__)
+            grad = jax.grad(loss, argnums=(0, 1))
+            gx_ref, gw_ref = jax.jit(grad)(x, w)
+            xs = jax.device_put(x, NamedSharding(mesh, P("data", "space")))
+            wr = jax.device_put(w, NamedSharding(mesh, P()))
+            gx_sp, gw_sp = jax.jit(grad)(xs, wr)
+            np.testing.assert_allclose(
+                np.asarray(jax.device_get(gx_sp)), np.asarray(gx_ref),
+                rtol=1e-5, atol=1e-5, err_msg=op.__name__)
+            np.testing.assert_allclose(
+                np.asarray(jax.device_get(gw_sp)), np.asarray(gw_ref),
+                rtol=1e-5, atol=1e-5, err_msg=op.__name__)
+    finally:
+        set_downconv_vjp_mode("auto")
 
 
 def test_spatial_avgpool(mesh):

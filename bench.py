@@ -89,7 +89,8 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
             family: str = "biggan", fused: bool = True,
             fast_conv: str = "auto", remat_scope: str = "block",
             xla_vmem: int = -1, fast_dw: str = "auto",
-            wide_conv: str = "auto", downconv_vjp: str = "auto") -> float:
+            wide_conv: str = "auto", downconv_vjp: str = "auto",
+            fast_stem: str = "auto") -> float:
     import tempfile
 
     import jax
@@ -105,7 +106,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
                  remat_scope=remat_scope,
                  channel_ratio=channel_ratio, fused_step=fused,
                  fast_conv=fast_conv, fast_dw=fast_dw, wide_conv=wide_conv,
-                 downconv_vjp=downconv_vjp,
+                 downconv_vjp=downconv_vjp, fast_stem=fast_stem,
                  fid_in_loop=False,
                  xla_vmem_limit_kib=xla_vmem,
                  log_dir=tempfile.mkdtemp(prefix="bench_"),
@@ -172,6 +173,8 @@ def main() -> None:
     p.add_argument("--downconv_vjp", default="auto",
                    choices=["custom", "autodiff", "auto"],
                    help="fused-downconv backward form (ops/downsample_conv)")
+    p.add_argument("--fast_stem", default="auto",
+                   help="space-to-depth stem conv (ops/s2d_conv.py)")
     p.add_argument("--wide_conv", default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas transposed-layout conv (ops/wide_conv.py)")
@@ -205,7 +208,7 @@ def main() -> None:
             vps = measure(b, iters, warmup, a.resolution, a.filters, remat,
                           a.channel_ratio, a.family, fused, a.fast_conv,
                           a.remat_scope, a.xla_vmem, a.fast_dw, a.wide_conv,
-                          a.downconv_vjp)
+                          a.downconv_vjp, a.fast_stem)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback

@@ -175,6 +175,12 @@ class Config:
                                  # "auto" = measured winner per backend;
                                  # "on"/"off" force. Forward/dx unchanged;
                                  # dW accumulates f32.
+    fast_stem: str = "auto"      # space-to-depth rewrite of the k=3 Ci=1
+                                 # stem conv (ops/s2d_conv.py): packed
+                                 # k=[3,2,2] conv at 4x channels — exact
+                                 # algebra, grad program 2.95x in
+                                 # isolation but the step-level A/B LOST
+                                 # (18.3 vs 20.3 vol/s); "auto" = off.
     xla_vmem_limit_kib: int = -1  # scoped-VMEM fusion budget passed to the
                                   # TPU compiler (xla_tpu_scoped_vmem_limit_kib)
                                   # for the train-step programs, via

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gan3d_tpu.ops import dw_conv, lane_conv, wide_conv
+from gan3d_tpu.ops import dw_conv, lane_conv, s2d_conv, wide_conv
 
 IntOr3 = Union[int, Sequence[int]]
 
@@ -64,6 +64,9 @@ def conv3d(
     if (dw_conv.fast_dw_enabled()
             and dw_conv.eligible(x.shape, w.shape, s, p, d, groups)):
         return dw_conv.conv3d_k3_dw(x, w)
+    if (s2d_conv.fast_stem_enabled()
+            and s2d_conv.eligible(x.shape, w.shape, s, p, d, groups)):
+        return s2d_conv.stem_conv3d_s2d(x, w)
     return lax.conv_general_dilated(
         x,
         w,

@@ -34,10 +34,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+    # Normalize AFTER the PV matmul: o = (p/denom)@v == (p@v)/denom, and
+    # dividing the [BQ, c] output beats dividing the [BQ, M] tile (the
+    # kernel is VPU/softmax-bound, not MXU-bound, at c = ch/8).
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
 def _fwd(q, k, v):
@@ -68,30 +70,38 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
+    # Matmul-input dtype follows the caller's dtype: bf16 activations keep
+    # the MXU on its fast path (f32 MXU inputs run ~8x slower); f32 callers
+    # (tests, fp32 runs) keep full precision. Accumulation is always f32.
+    mmt = q.dtype
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     mx = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - mx)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)          # [BQ, M] fp32
+    e = jnp.exp(s - mx)                                  # [BQ, M] fp32
+    inv_d = 1.0 / jnp.sum(e, axis=-1, keepdims=True)     # [BQ, 1]
 
-    do32 = do.astype(jnp.float32)
-    dp = jax.lax.dot_general(do32, v.astype(jnp.float32),
-                             (((1,), (1,)), ((), ())),
+    # Softmax algebra with the 1/denom row-scale folded OUT of the [BQ, M]
+    # tiles and into the [BQ, c] operands (exact):
+    #   p = e*inv_d;  dsum = sum(dp*p) = sum(dp*e)*inv_d
+    #   ds = p*(dp - dsum) = inv_d * t,  t := e*(dp - dsum)
+    #   dq = ds@k = inv_d*(t@k);  dk = ds^T@q = t^T@(q*inv_d)
+    #   dv = p^T@do = e^T@(do*inv_d)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [BQ, M]
-    dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - dsum)                                 # [BQ, M]
+    dsum = jnp.sum(dp * e, axis=-1, keepdims=True) * inv_d
+    t = (e * (dp - dsum)).astype(mmt)                    # [BQ, M]
+    eb = e.astype(mmt)
 
-    dq = jax.lax.dot_general(ds, k.astype(jnp.float32),
-                             (((1,), (0,)), ((), ())),
+    dq = jax.lax.dot_general(t, k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dq_ref[0] = (dq * inv_d).astype(dq_ref.dtype)
 
-    dk_blk = jax.lax.dot_general(ds, q.astype(jnp.float32),
-                                 (((0,), (0,)), ((), ())),
+    q_s = (q.astype(jnp.float32) * inv_d).astype(mmt)    # [BQ, c]
+    do_s = (do.astype(jnp.float32) * inv_d).astype(mmt)
+    dk_blk = jax.lax.dot_general(t, q_s, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [M, c]
-    dv_blk = jax.lax.dot_general(p.astype(jnp.float32), do32,
-                                 (((0,), (0,)), ((), ())),
+    dv_blk = jax.lax.dot_general(eb, do_s, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
 
     @pl.when(j == 0)

@@ -2,12 +2,20 @@
 
 Input: the directory passed to scripts/profile_step.py. jax.profiler writes
 TensorBoard-format traces under <dir>/plugins/profile/<run>/; this reads the
-*.trace.json.gz (Chrome trace events) without needing tensorboard, keeps
-only complete events ('X') on device (TPU/accelerator) tracks, and prints
-the top-N op names by total duration plus a category rollup (conv / fusion /
-copy / dynamic-update-slice / all-reduce / other).
+*.trace.json.gz (Chrome trace events) without needing tensorboard and uses
+the per-event XLA metadata (hlo_category, model_flops, bytes_accessed,
+device_duration_ps, long_name) of the device "XLA Ops" track to print:
 
-Usage: python scripts/parse_trace.py /tmp/step_trace [--top 40]
+  - an hlo_category rollup (convolution fusion / custom-call / ...)
+  - conv time grouped by the largest operand shape (which resolution/width
+    the time goes to, with achieved TF/s)  [--by-shape]
+  - the top-N instructions with achieved TF/s and GB/s
+
+The session-7 finding this produced: the flagship fused step is 88.8%
+convolution fusions, 42% of it the 64^3 C=32 group at ~24 TF/s — see
+docs/PERF.md.
+
+Usage: python scripts/parse_trace.py /tmp/step_trace [--top 40] [--steps 5]
 """
 
 from __future__ import annotations
@@ -17,8 +25,8 @@ import collections
 import glob
 import gzip
 import json
-import os
 import re
+import os
 import sys
 
 
@@ -36,81 +44,89 @@ def load_events(trace_dir: str):
     return data.get("traceEvents", [])
 
 
-def categorize(name: str) -> str:
-    n = name.lower()
-    if "conv" in n:
-        return "conv"
-    if n.startswith("fusion") or ".fusion" in n:
-        return "fusion"
-    if "copy" in n or "transpose" in n or "bitcast" in n:
-        return "copy/layout"
-    if "dynamic-update-slice" in n or "dynamic-slice" in n:
-        return "dus/ds"
-    if "all-reduce" in n or "all-gather" in n or "collective" in n:
-        return "collective"
-    if "dot" in n:
-        return "dot"
-    if "rng" in n:
-        return "rng"
-    return "other"
+def largest_shape(long_name: str) -> str:
+    best, bestv = "?", -1
+    for m in re.finditer(r"\[(\d+),(\d+),(\d+),(\d+),(\d+)\]", long_name):
+        dims = list(map(int, m.groups()))
+        v = 1
+        for d in dims:
+            v *= d
+        if v > bestv:
+            bestv = v
+            best = f"sp={dims[1]}x{dims[2]}x{dims[3]} C={dims[4]}"
+    return best
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=40)
-    ap.add_argument("--all-tracks", action="store_true",
-                    help="include host tracks (default: device-looking only)")
+    ap.add_argument("--steps", type=int, default=5,
+                    help="traced steps, for ms/step normalization")
+    ap.add_argument("--by-shape", action="store_true", default=True)
     a = ap.parse_args()
     events = load_events(a.trace_dir)
 
-    # map pid/tid -> track name from metadata events
-    proc = {}
     thread = {}
     for e in events:
-        if e.get("ph") == "M":
-            if e.get("name") == "process_name":
-                proc[e["pid"]] = e["args"].get("name", "")
-            elif e.get("name") == "thread_name":
-                thread[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
 
-    def is_device(pid, tid) -> bool:
-        label = (proc.get(pid, "") + " " +
-                 thread.get((pid, tid), "")).lower()
-        return bool(re.search(r"tpu|device|xla|accelerator|/device", label))
-
-    tracks = collections.Counter()
-    by_name = collections.Counter()
     by_cat = collections.Counter()
+    by_shape = collections.Counter()
+    shape_flops = collections.Counter()
+    agg = collections.defaultdict(lambda: [0.0, 0, 0.0, 0.0, ""])
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or "dur" not in e:
+        if e.get("ph") != "X":
             continue
-        pid, tid = e.get("pid"), e.get("tid")
-        label = f"{proc.get(pid, pid)}/{thread.get((pid, tid), tid)}"
-        tracks[label] += e["dur"]
-        if not a.all_tracks and not is_device(pid, tid):
+        if thread.get((e.get("pid"), e.get("tid"))) != "XLA Ops":
             continue
-        name = e.get("name", "?")
-        # strip trailing SSA numbering so repeated ops aggregate
-        base = re.sub(r"[.\d]+$", "", name)
-        by_name[base] += e["dur"]
-        by_cat[categorize(name)] += e["dur"]
-        total += e["dur"]
+        args = e.get("args", {})
+        dur = float(args.get("device_duration_ps", 0)) / 1e6  # ps -> us
+        if not dur:
+            continue
+        total += dur
+        cat = args.get("hlo_category", "?")
+        by_cat[cat] += dur
+        fl = float(args.get("model_flops", 0) or 0)
+        if cat == "convolution fusion":
+            key = largest_shape(args.get("long_name", ""))
+            by_shape[key] += dur
+            shape_flops[key] += fl
+        r = agg[e["name"]]
+        r[0] += dur
+        r[1] += 1
+        r[2] += fl
+        r[3] += float(args.get("bytes_accessed", 0) or 0)
+        if not r[4]:
+            r[4] = args.get("long_name", "")[:160]
 
-    print("\n# tracks (all, by total us)")
-    for k, v in tracks.most_common(12):
-        print(f"{v / 1e3:10.1f} ms  {k}")
     if not total:
-        sys.exit("\nno device events matched — rerun with --all-tracks "
-                 "to inspect host tracks")
-    print(f"\n# device total: {total / 1e3:.1f} ms")
-    print("\n# by category")
-    for k, v in by_cat.most_common():
-        print(f"{v / 1e3:10.1f} ms  {v / total:6.1%}  {k}")
-    print(f"\n# top {a.top} ops")
-    for k, v in by_name.most_common(a.top):
-        print(f"{v / 1e3:10.1f} ms  {v / total:6.1%}  {k}")
+        sys.exit("no device XLA Ops events found")
+    n = max(a.steps, 1)
+    print(f"\n# device total {total / 1e3:.1f} ms"
+          f" = {total / (n * 1e3):.1f} ms/step ({n} steps)")
+
+    print("\n# by hlo_category")
+    for k, v in by_cat.most_common(12):
+        print(f"{v / (n * 1e3):9.2f} ms/step {v / total:6.1%}  {k}")
+
+    if by_shape:
+        print("\n# conv fusions by largest operand shape")
+        for k, v in by_shape.most_common(15):
+            tfs = shape_flops[k] / (v * 1e6) if v else 0.0
+            print(f"{v / (n * 1e3):9.2f} ms/step {v / total:6.1%} "
+                  f"{tfs:6.1f} TF/s  {k}")
+
+    print(f"\n# top {a.top} instructions (ms/step | x count | TF/s | GB/s)")
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
+    for name, (dur, c, fl, by, ln) in rows[:a.top]:
+        tfs = fl / (dur * 1e6) if dur else 0.0
+        gbs = by / (dur * 1e-6) / 1e9 if dur else 0.0
+        print(f"{dur / (n * 1e3):8.2f} {dur / total:6.1%} x{c:4d} "
+              f"{tfs:6.1f}TF/s {gbs:7.0f}GB/s  {name}")
+        print(f"            {ln}")
 
 
 if __name__ == "__main__":

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gan3d_tpu.ops import dw_conv, lane_conv, s2d_conv, wide_conv
+from gan3d_tpu.ops import dw_conv, lane_conv, s2d_conv, tap_conv, wide_conv
 
 IntOr3 = Union[int, Sequence[int]]
 
@@ -67,6 +67,9 @@ def conv3d(
     if (s2d_conv.fast_stem_enabled()
             and s2d_conv.eligible(x.shape, w.shape, s, p, d, groups)):
         return s2d_conv.stem_conv3d_s2d(x, w)
+    if (tap_conv.fast_head_enabled()
+            and tap_conv.eligible(x.shape, w.shape, s, p, d, groups)):
+        return tap_conv.head_conv3d_tap(x, w)
     return lax.conv_general_dilated(
         x,
         w,

@@ -66,6 +66,7 @@ class Trainer:
         from gan3d_tpu.ops.dw_conv import set_fast_dw_mode
         from gan3d_tpu.ops.lane_conv import set_lane_conv_mode
         from gan3d_tpu.ops.s2d_conv import set_fast_stem_mode
+        from gan3d_tpu.ops.tap_conv import set_fast_head_mode
         from gan3d_tpu.ops.upsample_conv import set_fast_upconv_mode
         from gan3d_tpu.ops.wide_conv import set_wide_conv_mode
         set_lane_conv_mode(cfg.fast_conv)
@@ -81,6 +82,7 @@ class Trainer:
         set_fast_dw_mode(cfg.fast_dw)
         set_wide_conv_mode(cfg.wide_conv)
         set_fast_stem_mode(cfg.fast_stem)
+        set_fast_head_mode(cfg.fast_head)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):

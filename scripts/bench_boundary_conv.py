@@ -156,22 +156,75 @@ def bench(name, ref, alt, x, w, iters, extra=()):
     print(row, flush=True)
 
 
+def bench_chain(batch, iters):
+    """The boundary IN CONTEXT: head conv -> tanh -> stem conv -> mean,
+    fwd and full grad. The per-op benches cannot see the step's real cost —
+    the C=1 tensor's batch-minor layout forces transpose-shaped fusions at
+    BOTH its producer (add_tanh, 57 GB/s in the step trace) and consumer.
+    Variants rewrite one or both sides so no rank-5 C=1 tensor is interior.
+    """
+    rng = np.random.default_rng(0)
+    s = 64
+    h = jnp.asarray(rng.normal(size=(batch, s, s, s, 64)), jnp.bfloat16)
+    wh = jnp.asarray(rng.normal(size=(3, 3, 3, 64, 1)) * 0.05, jnp.bfloat16)
+    ws = jnp.asarray(rng.normal(size=(3, 3, 3, 1, 64)) * 0.05, jnp.bfloat16)
+
+    def chain(head, stem):
+        def f(h_, wh_, ws_):
+            y = jnp.tanh(head(h_, wh_))
+            return jnp.mean(stem(y, ws_).astype(jnp.float32) ** 2)
+        return f
+
+    variants = {
+        "ref": chain(conv_same, conv_same),
+        "taphead": chain(head_tapmap, conv_same),
+        "taphead+hw2stem": chain(head_tapmap, stem_hw2),
+        "taphead+tapstem": chain(head_tapmap, stem_tapmap),
+        "hw2stem": chain(conv_same, stem_hw2),
+    }
+    ref = None
+    for name, f in variants.items():
+        val = float(jax.device_get(jax.jit(f)(h, wh, ws)))
+        if ref is None:
+            ref = val
+        assert abs(val - ref) < 5e-3 * abs(ref) + 1e-5, (name, val, ref)
+        g = jax.grad(f, argnums=(0, 1, 2))
+
+        def gsum(h_, wh_, ws_, g=g):
+            gh, gwh, gws = g(h_, wh_, ws_)
+            return (jnp.sum(gh.astype(jnp.float32)) +
+                    jnp.sum(gwh.astype(jnp.float32)) +
+                    jnp.sum(gws.astype(jnp.float32)))
+
+        fwd = time_fn(f, (h, wh, ws), iters)
+        fb = time_fn(gsum, (h, wh, ws), iters)
+        print({"chain": name, "fwd_ms": round(fwd, 2),
+               "fwdbwd_ms": round(fb, 2)}, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--chain-only", action="store_true")
     a = ap.parse_args()
     print(f"# backend={jax.default_backend()} batch={a.batch}", flush=True)
-    check_parity()
-    rng = np.random.default_rng(0)
-    s = 64
-    xh = jnp.asarray(rng.normal(size=(a.batch, s, s, s, 64)), jnp.bfloat16)
-    wh = jnp.asarray(rng.normal(size=(3, 3, 3, 64, 1)) * 0.05, jnp.bfloat16)
-    bench("head 64->1 @64^3", conv_same, head_tapmap, xh, wh, a.iters)
-    xs = jnp.asarray(rng.normal(size=(a.batch, s, s, s, 1)), jnp.bfloat16)
-    ws = jnp.asarray(rng.normal(size=(3, 3, 3, 1, 64)) * 0.05, jnp.bfloat16)
-    bench("stem 1->64 @64^3", conv_same, stem_tapmap, xs, ws, a.iters,
-          extra=(("hw2", stem_hw2), ("dhw2", stem_dhw2)))
+    if not a.chain_only:
+        check_parity()
+        rng = np.random.default_rng(0)
+        s = 64
+        xh = jnp.asarray(rng.normal(size=(a.batch, s, s, s, 64)),
+                         jnp.bfloat16)
+        wh = jnp.asarray(rng.normal(size=(3, 3, 3, 64, 1)) * 0.05,
+                         jnp.bfloat16)
+        bench("head 64->1 @64^3", conv_same, head_tapmap, xh, wh, a.iters)
+        xs = jnp.asarray(rng.normal(size=(a.batch, s, s, s, 1)),
+                         jnp.bfloat16)
+        ws = jnp.asarray(rng.normal(size=(3, 3, 3, 1, 64)) * 0.05,
+                         jnp.bfloat16)
+        bench("stem 1->64 @64^3", conv_same, stem_tapmap, xs, ws, a.iters,
+              extra=(("hw2", stem_hw2), ("dhw2", stem_dhw2)))
+    bench_chain(a.batch, a.iters)
 
 
 if __name__ == "__main__":

@@ -183,9 +183,9 @@ class Config:
                                  # (18.3 vs 20.3 vol/s); "auto" = off.
     fast_head: str = "auto"      # tap-map rewrite of the Co=1 G output
                                  # conv (ops/tap_conv.py): channel GEMM +
-                                 # 27-tap shift-add. Composed boundary
-                                 # chain with fast_stem: 27.3 vs 41.1 ms
-                                 # grad; "auto" = off pending step A/B.
+                                 # 27-tap shift-add. Composed chain -34%
+                                 # but the step-level A/B LOST at 64^3
+                                 # (19.1/17.3 vs 20.3); "auto" = off.
     xla_vmem_limit_kib: int = -1  # scoped-VMEM fusion budget passed to the
                                   # TPU compiler (xla_tpu_scoped_vmem_limit_kib)
                                   # for the train-step programs, via

@@ -23,8 +23,15 @@ Measured (scripts/bench_boundary_conv.py, batch 16 @ 64^3): isolated op
 1.55x fwd / 1.17x grad; the composed boundary chain (head -> tanh -> stem)
 with this op PLUS the s2d stem (ops/s2d_conv.py) runs 9.4 vs 16.4 ms fwd
 and 27.3 vs 41.1 ms grad — the two-sided rewrite keeps every interior
-tensor out of the degenerate C=1 layout.  Gated behind ``fast_head``
-("auto" = off until the step-level A/B lands; "on"/"off" force).
+tensor out of the degenerate C=1 layout.
+
+BUT the step-level A/B LOST at 64^3 (2026-08-18): --fast_head=on alone
+18.3->19.06 vs 20.30 control (-6%); combined with --fast_stem=on, 17.30
+(-15%).  A -34% composed-chain win turned into a step-level loss — the
+same fusion-neighborhood non-locality that sank fast_stem, lane_conv,
+wide_conv and fast_dw (docs/PERF.md, "the conv-rewrite chapter, closed").
+``fast_head`` auto therefore resolves to OFF; "on" stays available for
+other resolutions/configs.
 """
 
 from __future__ import annotations
@@ -46,7 +53,7 @@ def set_fast_head_mode(mode: str) -> None:
 
 def fast_head_enabled() -> bool:
     if _MODE == "auto":
-        return False  # pending the step-level A/B (see docs/PERF.md)
+        return False  # step-level A/B measured a LOSS (19.1 vs 20.3 vol/s)
     return _MODE == "on"
 
 

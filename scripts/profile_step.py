@@ -48,12 +48,16 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--resolution", type=int, default=64)
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--family", default="biggan",
+                    choices=["biggan", "stylegan2"])
     a = ap.parse_args()
-    cfg = Config(biggan=True, hinge=True, resolution=a.resolution,
+    fam_kw = ({"stylegan2": True} if a.family == "stylegan2"
+              else {"biggan": True, "hinge": True})
+    cfg = Config(resolution=a.resolution,
                  filterG=64, filterD=64, z_size=512, batch_size=a.batch,
                  iterD=2, fid_in_loop=False, profile_dir=a.out,
                  log_dir=tempfile.mkdtemp(prefix="prof_"),
-                 data_loader_workers=1)
+                 data_loader_workers=1, **fam_kw)
     tr = Trainer(_ZeroDataset(4 * a.batch, a.resolution), cfg)
     rng = np.random.default_rng(0)
     reals = jax.device_put(

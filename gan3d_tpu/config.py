@@ -179,13 +179,15 @@ class Config:
                                  # stem conv (ops/s2d_conv.py): packed
                                  # k=[3,2,2] conv at 4x channels — exact
                                  # algebra, grad program 2.95x in
-                                 # isolation but the step-level A/B LOST
-                                 # (18.3 vs 20.3 vol/s); "auto" = off.
+                                 # isolation; step A/B: LOSES at 64^3,
+                                 # WINS at 128^3 with fast_head — "auto"
+                                 # = on at >=128^3, off below (Trainer).
     fast_head: str = "auto"      # tap-map rewrite of the Co=1 G output
                                  # conv (ops/tap_conv.py): channel GEMM +
-                                 # 27-tap shift-add. Composed chain -34%
-                                 # but the step-level A/B LOST at 64^3
-                                 # (19.1/17.3 vs 20.3); "auto" = off.
+                                 # 27-tap shift-add. Step A/B: LOSES at
+                                 # 64^3 (19.1 vs 20.3), WINS at 128^3
+                                 # with fast_stem (1.01 vs 0.962) — same
+                                 # auto rule as fast_stem.
     xla_vmem_limit_kib: int = -1  # scoped-VMEM fusion budget passed to the
                                   # TPU compiler (xla_tpu_scoped_vmem_limit_kib)
                                   # for the train-step programs, via

@@ -19,12 +19,14 @@ Exact algebra (same multiplies; structural zeros contribute exactly 0):
 parity pinned in tests/test_s2d_conv.py.  Measured (scripts/
 bench_boundary_conv.py, batch 16 @ 64^3): grad program 2.95x faster,
 fwd-only program 0.88x — the win is the backward (dx/dW of the packed
-form are wide convs).  BUT the step-level A/B LOST: headline bench with
---fast_stem=on measures 18.3 vol/s vs 20.3 control (mq6, 2026-08-18) —
-the isolated-program win does not survive the fused step's fusion
-neighborhood (same lesson as the glue ladder in docs/PERF.md session 7).
-``fast_stem`` auto therefore resolves to OFF; "on" remains available for
-re-measurement if the surrounding step HLO changes shape.
+form are wide convs).  Step-level verdicts are RESOLUTION-DEPENDENT
+(docs/PERF.md session 8): at 64^3 the A/B LOST (18.3 vs 20.3 vol/s —
+fusion-neighborhood non-locality, same lesson as the glue ladder), but at
+128^3 the two-sided boundary rewrite (this op + the tap-map head,
+ops/tap_conv.py) WINS: 1.01 vs 0.962 vol/s, and the 128^3 control
+program stopped fitting the remote compile helper entirely.  The Trainer
+resolves ``fast_stem="auto"`` to ON at resolution >= 128, OFF below
+(mirroring ``downconv_vjp``); the module-level auto (no Trainer) is OFF.
 """
 
 from __future__ import annotations

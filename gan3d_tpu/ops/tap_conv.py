@@ -25,13 +25,14 @@ with this op PLUS the s2d stem (ops/s2d_conv.py) runs 9.4 vs 16.4 ms fwd
 and 27.3 vs 41.1 ms grad — the two-sided rewrite keeps every interior
 tensor out of the degenerate C=1 layout.
 
-BUT the step-level A/B LOST at 64^3 (2026-08-18): --fast_head=on alone
-18.3->19.06 vs 20.30 control (-6%); combined with --fast_stem=on, 17.30
-(-15%).  A -34% composed-chain win turned into a step-level loss — the
-same fusion-neighborhood non-locality that sank fast_stem, lane_conv,
-wide_conv and fast_dw (docs/PERF.md, "the conv-rewrite chapter, closed").
-``fast_head`` auto therefore resolves to OFF; "on" stays available for
-other resolutions/configs.
+Step-level verdicts are RESOLUTION-DEPENDENT (docs/PERF.md session 8).
+At 64^3 the A/B LOST: --fast_head=on alone 19.06 vs 20.30 control (-6%);
+combined with --fast_stem=on, 17.30 (-15%) — the same fusion-neighborhood
+non-locality that sank fast_stem, lane_conv, wide_conv and fast_dw.  At
+128^3 the combined boundary rewrite WINS: 1.01 vs 0.962 vol/s, and it is
+also what keeps the 128^3 program compiling (the control stopped fitting
+the remote compile helper).  The Trainer resolves ``fast_head="auto"`` to
+ON at resolution >= 128, OFF below; the module-level auto is OFF.
 """
 
 from __future__ import annotations

@@ -81,8 +81,19 @@ class Trainer:
         set_downconv_vjp_mode(dv)
         set_fast_dw_mode(cfg.fast_dw)
         set_wide_conv_mode(cfg.wide_conv)
-        set_fast_stem_mode(cfg.fast_stem)
-        set_fast_head_mode(cfg.fast_head)
+        # Measured (docs/PERF.md session 8): the two-sided C=1 boundary
+        # rewrite (s2d D stem + tap-map G head) LOSES at 64^3 (-6%/-15%)
+        # but WINS at 128^3 (1.01 vs 0.962 vol/s) — and the 128^3 control
+        # program stopped fitting the remote compile helper, so the
+        # rewrite is also what keeps 128^3 compilable. Resolution-resolved
+        # autos, exactly like downconv_vjp above.
+        fs, fh = cfg.fast_stem, cfg.fast_head
+        if fs == "auto":
+            fs = "on" if cfg.resolution >= 128 else "off"
+        if fh == "auto":
+            fh = "on" if cfg.resolution >= 128 else "off"
+        set_fast_stem_mode(fs)
+        set_fast_head_mode(fh)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):

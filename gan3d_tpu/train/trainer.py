@@ -44,6 +44,23 @@ from gan3d_tpu.train.step import build_train_step
 from gan3d_tpu.utils.png import save_volume_grid
 
 
+def resolve_boundary_autos(cfg: Config) -> tuple:
+    """Resolve the fast_stem / fast_head "auto" modes by resolution.
+
+    Measured (docs/PERF.md session 8): the two-sided C=1 boundary rewrite
+    (s2d D stem + tap-map G head) LOSES at 64^3 (-6%/-15%) but WINS at
+    128^3 (1.01 vs 0.962 vol/s) — and the 128^3 plain-conv program stopped
+    fitting the remote compile helper, so the rewrite is also what keeps
+    128^3 compilable. Same resolution rule as downconv_vjp.
+    """
+    fs, fh = cfg.fast_stem, cfg.fast_head
+    if fs == "auto":
+        fs = "on" if cfg.resolution >= 128 else "off"
+    if fh == "auto":
+        fh = "on" if cfg.resolution >= 128 else "off"
+    return fs, fh
+
+
 class Trainer:
     def __init__(self, dataset, cfg: Config):
         # --- dirs + params persistence (reference trainer.py:33-47) ---
@@ -81,17 +98,7 @@ class Trainer:
         set_downconv_vjp_mode(dv)
         set_fast_dw_mode(cfg.fast_dw)
         set_wide_conv_mode(cfg.wide_conv)
-        # Measured (docs/PERF.md session 8): the two-sided C=1 boundary
-        # rewrite (s2d D stem + tap-map G head) LOSES at 64^3 (-6%/-15%)
-        # but WINS at 128^3 (1.01 vs 0.962 vol/s) — and the 128^3 control
-        # program stopped fitting the remote compile helper, so the
-        # rewrite is also what keeps 128^3 compilable. Resolution-resolved
-        # autos, exactly like downconv_vjp above.
-        fs, fh = cfg.fast_stem, cfg.fast_head
-        if fs == "auto":
-            fs = "on" if cfg.resolution >= 128 else "off"
-        if fh == "auto":
-            fh = "on" if cfg.resolution >= 128 else "off"
+        fs, fh = resolve_boundary_autos(cfg)
         set_fast_stem_mode(fs)
         set_fast_head_mode(fh)
 

@@ -122,6 +122,18 @@ def test_spatial_mesh_parity():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_boundary_autos_resolve_by_resolution():
+    from gan3d_tpu.config import Config
+    from gan3d_tpu.train.trainer import resolve_boundary_autos
+
+    assert resolve_boundary_autos(Config(resolution=64)) == ("off", "off")
+    assert resolve_boundary_autos(Config(resolution=128)) == ("on", "on")
+    assert resolve_boundary_autos(Config(resolution=256)) == ("on", "on")
+    # explicit settings pass through untouched
+    cfg = Config(resolution=128, fast_stem="off", fast_head="on")
+    assert resolve_boundary_autos(cfg) == ("off", "on")
+
+
 def test_through_generator_tail():
     """The dispatcher must route the flagship G's out_conv (SN-wrapped
     kernel -> ops.conv3d with Co=1, k=3, SAME) through the tap map with

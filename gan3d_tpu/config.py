@@ -117,6 +117,12 @@ class Config:
     fused_step: bool = True     # single jitted step: iterD D-updates + 1 G-update
     adam_b1: float = 0.0        # reference: trainer.py:77-78 betas=(0., 0.9)
     adam_b2: float = 0.9
+    mu_free_adam: bool = True   # b1=0 drops the (inert) first-moment tree
+                                # (train/state.py) — bit-identical updates,
+                                # one param-sized fp32 tree less HBM. False
+                                # = plain optax.adam (escape hatch for the
+                                # remote-compile-helper ceiling at 128^3
+                                # with the boundary rewrite forced off).
     ema_decay: float = 0.5      # stylegan2 weight_avg: 0.5 (reference: trainer.py:199-206)
     data_loader_workers: int = 4
     profile_dir: str = ""       # if set, jax.profiler traces are written here

@@ -67,12 +67,19 @@ def _scale_by_adam_b1zero(b2: float,
     return optax.GradientTransformation(init, update)
 
 
-def make_optimizer(lr: float, b1: float, b2: float) -> optax.GradientTransformation:
+def make_optimizer(lr: float, b1: float, b2: float,
+                   mu_free: bool = True) -> optax.GradientTransformation:
     """Adam with the reference betas (trainer.py:77-78: (0., 0.9)).
 
     b1 == 0 (the reference default for every family) takes the mu-free
-    specialization above; any other b1 falls back to optax.adam."""
-    if b1 == 0.0:
+    specialization above; any other b1 falls back to optax.adam.
+    ``mu_free=False`` forces plain optax.adam even at b1 == 0 — bit-
+    identical updates, but the optimizer carries the (inert) mu tree.
+    Escape hatch for this env's remote compile helper: the mu-free HLO
+    pushes the 128^3 plain-conv split program over the helper's memory
+    ceiling (bisected in docs/PERF.md session 8; moot on the 128^3
+    default path, whose boundary rewrite compiles fine)."""
+    if b1 == 0.0 and mu_free:
         return optax.chain(_scale_by_adam_b1zero(b2, eps=1e-8),
                            optax.scale(-lr))
     return optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=1e-8)

@@ -158,8 +158,10 @@ class Trainer:
         d_params = d_vars["params"]
         d_state = {k: v for k, v in d_vars.items() if k != "params"}
 
-        self.g_tx = make_optimizer(cfg.lrG, cfg.adam_b1, cfg.adam_b2)
-        self.d_tx = make_optimizer(cfg.lrD, cfg.adam_b1, cfg.adam_b2)
+        self.g_tx = make_optimizer(cfg.lrG, cfg.adam_b1, cfg.adam_b2,
+                                   mu_free=cfg.mu_free_adam)
+        self.d_tx = make_optimizer(cfg.lrD, cfg.adam_b1, cfg.adam_b2,
+                                   mu_free=cfg.mu_free_adam)
         state = TrainState(
             step=jnp.int32(0),
             g_params=g_params, g_state=g_state, g_opt=self.g_tx.init(g_params),

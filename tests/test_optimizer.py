@@ -76,3 +76,46 @@ def test_nonzero_b1_falls_back_to_adam():
     for a, b in zip(jax.tree_util.tree_leaves(u1),
                     jax.tree_util.tree_leaves(u2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_checkpoint_migrates_to_mu_free_state(tmp_path):
+    """A checkpoint written with the pre-specialization optimizer state
+    (optax.adam's ScaleByAdamState, WITH mu) must restore into the current
+    AdamB1ZeroState template: mu is inert at b1=0, so resume is lossless."""
+    from gan3d_tpu.train.checkpoint import CheckpointManager
+    from gan3d_tpu.train.state import AdamB1ZeroState
+
+    params = _tree(0)
+    legacy_tx = optax.adam(learning_rate=1e-3, b1=0.0, b2=0.9, eps=1e-8)
+    legacy_state = legacy_tx.init(params)
+    # advance a few steps so count/nu are nonzero
+    g = _tree(1)
+    for _ in range(3):
+        _, legacy_state = legacy_tx.update(g, legacy_state, params)
+    mgr = CheckpointManager(str(tmp_path / "models"), async_save=False)
+    mgr.save(7, {"opt": legacy_state, "params": params})
+    mgr.wait()
+
+    new_tx = make_optimizer(1e-3, 0.0, 0.9)
+    template = {"opt": new_tx.init(params), "params": params}
+    restored, _ = mgr.restore(template)
+    mgr.close()
+
+    moment = restored["opt"][0]
+    assert isinstance(moment, AdamB1ZeroState)
+    legacy_moment = legacy_state[0]
+    assert int(moment.count) == int(legacy_moment.count)
+    for a, b in zip(jax.tree.leaves(moment.nu),
+                    jax.tree.leaves(legacy_moment.nu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the next update stream continues identically
+    up_new, _ = new_tx.update(g, restored["opt"], params)
+    up_old, _ = legacy_tx.update(g, legacy_state, params)
+    for a, b in zip(jax.tree.leaves(up_new), jax.tree.leaves(up_old)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mu_free_false_forces_plain_adam():
+    tx = make_optimizer(1e-3, 0.0, 0.9, mu_free=False)
+    st = tx.init(_tree(0))
+    assert isinstance(st[0], optax.ScaleByAdamState)

@@ -90,7 +90,8 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
             fast_conv: str = "auto", remat_scope: str = "block",
             xla_vmem: int = -1, fast_dw: str = "auto",
             wide_conv: str = "auto", downconv_vjp: str = "auto",
-            fast_stem: str = "auto", fast_head: str = "auto") -> float:
+            fast_stem: str = "auto", fast_head: str = "auto",
+            fast_fir: str = "auto") -> float:
     import tempfile
 
     import jax
@@ -107,7 +108,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
                  channel_ratio=channel_ratio, fused_step=fused,
                  fast_conv=fast_conv, fast_dw=fast_dw, wide_conv=wide_conv,
                  downconv_vjp=downconv_vjp, fast_stem=fast_stem,
-                 fast_head=fast_head,
+                 fast_head=fast_head, fast_fir=fast_fir,
                  fid_in_loop=False,
                  xla_vmem_limit_kib=xla_vmem,
                  log_dir=tempfile.mkdtemp(prefix="bench_"),
@@ -178,6 +179,8 @@ def main() -> None:
                    help="space-to-depth stem conv (ops/s2d_conv.py)")
     p.add_argument("--fast_head", default="auto",
                    help="tap-map Co=1 head conv (ops/tap_conv.py)")
+    p.add_argument("--fast_fir", default="auto",
+                   help="separable matmul upfirdn3d (stylegan resample)")
     p.add_argument("--wide_conv", default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas transposed-layout conv (ops/wide_conv.py)")
@@ -211,7 +214,8 @@ def main() -> None:
             vps = measure(b, iters, warmup, a.resolution, a.filters, remat,
                           a.channel_ratio, a.family, fused, a.fast_conv,
                           a.remat_scope, a.xla_vmem, a.fast_dw, a.wide_conv,
-                          a.downconv_vjp, a.fast_stem, a.fast_head)
+                          a.downconv_vjp, a.fast_stem, a.fast_head,
+                          a.fast_fir)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback

@@ -194,6 +194,12 @@ class Config:
                                  # 64^3 (19.1 vs 20.3), WINS at 128^3
                                  # with fast_stem (1.01 vs 0.962) — same
                                  # auto rule as fast_stem.
+    fast_fir: str = "auto"       # stylegan upfirdn3d as three separable
+                                 # spatial-axis matmuls (models/stylegan/
+                                 # resample.py): the C<=64 depthwise FIRs
+                                 # run at 0.1 TF/s in XLA's degenerate
+                                 # C=1 layout (~80% of the sg2 step).
+                                 # "auto" = off pending the step A/B.
     xla_vmem_limit_kib: int = -1  # scoped-VMEM fusion budget passed to the
                                   # TPU compiler (xla_tpu_scoped_vmem_limit_kib)
                                   # for the train-step programs, via

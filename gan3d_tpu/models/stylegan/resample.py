@@ -21,6 +21,7 @@ a true 3D outer product; `setup_filter` reproduces exactly that.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -29,6 +30,109 @@ import numpy as np
 from jax import lax
 
 IntOr3 = Union[int, Sequence[int]]
+
+# --- fast_fir: separable spatial-matmul lowering ------------------------
+#
+# The session-8 StyleGAN2 step trace (docs/PERF.md) shows ~80% of the step
+# in these depthwise FIR convs at 0.1 TF/s / 2-4 GB/s: the skip
+# architecture's 1-channel image pyramid forces XLA's degenerate C=1
+# batch-minor layout (16x padded) on every upfirdn. The reference filter
+# is rank-1 across axes (setup_filter's tile quirk gives
+# f3[i,j,k] = f[i] * f[k] / (4 * sum(f)^2)), so the 3-D FIR factors into
+# THREE 1-D resamples — each expressible as one dense banded matmul along
+# a spatial axis, where the GEMM dims are spatial lengths and the C=1
+# layout problem never arises. Exact same taps; order of accumulation
+# differs (one rounding per axis pass instead of one total).
+_FIR_MODE = os.environ.get("GAN3D_FAST_FIR", "auto")
+
+
+def set_fast_fir_mode(mode: str) -> None:
+    global _FIR_MODE
+    assert mode in ("off", "auto", "on"), mode
+    _FIR_MODE = mode
+
+
+def fast_fir_enabled() -> bool:
+    if _FIR_MODE == "auto":
+        return False  # pending the step-level A/B (docs/PERF.md method note)
+    return _FIR_MODE == "on"
+
+
+def _separate_filter(f3: np.ndarray):
+    """Rank-1 factorization f3[i,j,k] = a[i] b[j] c[k], or None."""
+    if f3.ndim != 3:
+        return None
+    i0, j0, k0 = np.unravel_index(np.argmax(np.abs(f3)), f3.shape)
+    s = f3[i0, j0, k0]
+    if s == 0:
+        return None
+    a = f3[:, j0, k0].astype(np.float64)
+    b = (f3[i0, :, k0] / s).astype(np.float64)
+    c = (f3[i0, j0, :] / s).astype(np.float64)
+    rec = a[:, None, None] * b[None, :, None] * c[None, None, :]
+    if not np.allclose(rec, f3, rtol=1e-6, atol=1e-8 * abs(float(s))):
+        return None
+    return a, b, c
+
+
+def _fir1d_matrix(kern: np.ndarray, length: int, up: int, down: int,
+                  p0: int, p1: int) -> Optional[np.ndarray]:
+    """Dense matrix B with y = B @ x equal to the 1-D slice of upfirdn's
+    conv: x dilated by ``up``, padded (p0, p1 + up - 1), correlated with
+    ``kern``, stride ``down``. B[o, i] = kern[p0 + i*up - o*down]."""
+    kl = len(kern)
+    l_out = (length * up + p0 + p1 - kl) // down + 1
+    if l_out <= 0:
+        return None
+    b = np.zeros((l_out, length), np.float64)
+    for o in range(l_out):
+        # valid kernel taps: 0 <= p0 + i*up - o*down < kl
+        for i in range(length):
+            k = p0 + i * up - o * down
+            if 0 <= k < kl:
+                b[o, i] = kern[k]
+    return b
+
+
+def _upfirdn3d_matmul(x: jax.Array, fnp: np.ndarray, up3, down3, pads,
+                      flip_filter: bool, gain: float) -> Optional[jax.Array]:
+    """Separable upfirdn as three spatial-axis matmuls; None if ineligible."""
+    fac = _separate_filter(fnp)
+    if fac is None:
+        return None
+    upx, upy, upz = up3
+    downx, downy, downz = down3
+    px0, px1, py0, py1, pz0, pz1 = pads
+    fd, fh, fw = fac
+    fd = fd * float(gain)  # gain multiplies the 3-D filter once
+    if not flip_filter:  # conv kernel is the flipped filter (correlation)
+        fd, fh, fw = fd[::-1], fh[::-1], fw[::-1]
+    n, d, h, w, c = x.shape
+    bd = _fir1d_matrix(fd, d, upz, downz, pz0, pz1)
+    bh = _fir1d_matrix(fh, h, upy, downy, py0, py1)
+    bw = _fir1d_matrix(fw, w, upx, downx, px0, px1)
+    if bd is None or bh is None or bw is None:
+        return None
+    dt = x.dtype
+    bd, bh, bw = (jnp.asarray(m, dt) for m in (bd, bh, bw))
+    f32 = jnp.float32
+    if c == 1:
+        y = x[..., 0]
+        y = jnp.einsum("od,ndhw->nohw", bd, y,
+                       preferred_element_type=f32).astype(dt)
+        y = jnp.einsum("oh,ndhw->ndow", bh, y,
+                       preferred_element_type=f32).astype(dt)
+        y = jnp.einsum("ow,ndhw->ndho", bw, y,
+                       preferred_element_type=f32).astype(dt)
+        return y[..., None]
+    y = jnp.einsum("od,ndhwc->nohwc", bd, x,
+                   preferred_element_type=f32).astype(dt)
+    y = jnp.einsum("oh,ndhwc->ndowc", bh, y,
+                   preferred_element_type=f32).astype(dt)
+    y = jnp.einsum("ow,ndhwc->ndhoc", bw, y,
+                   preferred_element_type=f32).astype(dt)
+    return y
+# ------------------------------------------------------------------------
 
 
 def setup_filter(f1d=(1, 3, 3, 1)) -> jnp.ndarray:
@@ -73,6 +177,23 @@ def upfirdn3d(x: jax.Array, f: Optional[jnp.ndarray], up: IntOr3 = 1,
     px0, px1, py0, py1, pz0, pz1 = _parse_padding(padding)
 
     c = x.shape[-1]
+
+    # Separable spatial-matmul lowering (fast_fir; see module header). The
+    # filter must be a concrete rank-1 3-D array; the narrow-channel gate
+    # keeps the depthwise conv where it is already lane-efficient.
+    if fast_fir_enabled() and f.ndim == 3 and c <= 64:
+        try:
+            fnp = np.asarray(f)
+        except Exception:
+            fnp = None
+        if fnp is not None:
+            y = _upfirdn3d_matmul(
+                x, fnp * (gain ** (f.ndim / 3)),
+                (upx, upy, upz), (downx, downy, downz),
+                (px0, px1, py0, py1, pz0, pz1), flip_filter, 1.0)
+            if y is not None:
+                return y
+
     f = f * (gain ** (f.ndim / 3))
     if not flip_filter:
         f = jnp.flip(f, axis=tuple(range(f.ndim)))

@@ -101,6 +101,8 @@ class Trainer:
         fs, fh = resolve_boundary_autos(cfg)
         set_fast_stem_mode(fs)
         set_fast_head_mode(fh)
+        from gan3d_tpu.models.stylegan.resample import set_fast_fir_mode
+        set_fast_fir_mode(cfg.fast_fir)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):

@@ -1,0 +1,137 @@
+"""Parity for the separable spatial-matmul upfirdn3d (fast_fir).
+
+The reference filter (setup_filter's tile quirk) is rank-1 across axes, so
+the 3-D depthwise FIR factors into three 1-D resamples — each one dense
+banded matmul along a spatial axis (models/stylegan/resample.py). Taps are
+identical; only the accumulation order differs (one rounding per axis).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan3d_tpu.models.stylegan import resample as R
+
+
+@pytest.fixture(autouse=True)
+def _reset_mode():
+    yield
+    R.set_fast_fir_mode("auto")
+
+
+CASES = [
+    # the generator img-pyramid upsample (stylegan.py:620-634 algebra)
+    dict(up=2, down=1, padding=[2, 1, 2, 1, 2, 1], gain=8.0,
+         flip_filter=False),
+    # the discriminator FIR-then-strided-conv downsample
+    dict(up=1, down=2, padding=[1, 1, 1, 1, 1, 1], gain=1.0,
+         flip_filter=False),
+    # pad-only, negative/asymmetric padding + flip, up+down combined
+    dict(up=1, down=1, padding=[2, 1, 2, 1, 2, 1], gain=1.0,
+         flip_filter=False),
+    dict(up=2, down=1, padding=[1, -1, 2, 0, 1, 1], gain=2.0,
+         flip_filter=True),
+    dict(up=2, down=2, padding=[2, 1, 2, 1, 2, 1], gain=8.0,
+         flip_filter=False),
+]
+
+
+@pytest.mark.parametrize("c", [1, 3])
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_matmul_fir_matches_conv(c, case):
+    rng = np.random.default_rng(case)
+    f = R.setup_filter()
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 12, c)), jnp.float32)
+    kw = CASES[case]
+    R.set_fast_fir_mode("off")
+    ref = np.asarray(R.upfirdn3d(x, f, **kw))
+    R.set_fast_fir_mode("on")
+    got = np.asarray(R.upfirdn3d(x, f, **kw))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_grads_match():
+    f = R.setup_filter()
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)), jnp.float32)
+
+    def loss(x_):
+        y = R.upfirdn3d(x_, f, up=2, padding=[2, 1] * 3, gain=8.0)
+        return jnp.sum(y * jnp.cos(
+            jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape)))
+
+    R.set_fast_fir_mode("off")
+    g_ref = np.asarray(jax.grad(loss)(x))
+    R.set_fast_fir_mode("on")
+    g = np.asarray(jax.grad(loss)(x))
+    np.testing.assert_allclose(g, g_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_gates():
+    f = R.setup_filter()
+    rng = np.random.default_rng(3)
+    R.set_fast_fir_mode("on")
+    # wide channels keep the depthwise conv (lane-efficient already):
+    # outputs still agree because the fast path declines, so just check
+    # the factorizer + gate functions directly.
+    assert R._separate_filter(np.asarray(f)) is not None
+    nonsep = np.zeros((3, 3, 3), np.float32)
+    nonsep[0, 0, 0] = 1.0
+    nonsep[1, 1, 1] = 1.0
+    nonsep[2, 0, 1] = 0.5
+    assert R._separate_filter(nonsep) is None
+    # non-separable filters must still produce conv-parity results (fallback)
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 6, 1)), jnp.float32)
+    got = np.asarray(R.upfirdn3d(x, jnp.asarray(nonsep), up=2,
+                                 padding=[1, 1] * 3))
+    R.set_fast_fir_mode("off")
+    ref = np.asarray(R.upfirdn3d(x, jnp.asarray(nonsep), up=2,
+                                 padding=[1, 1] * 3))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_default_off():
+    assert not R.fast_fir_enabled()  # auto = off until the step-level A/B
+
+
+def test_through_stylegan2_models():
+    """G (img pyramid + resampled convs) and D (FIR downsample) must be
+    unchanged, gradients included, with the matmul lowering forced on."""
+    from gan3d_tpu.config import Config
+    from gan3d_tpu.models.registry import build_models
+
+    cfg = Config(stylegan2=True, resolution=16, batch_size=1, filterG=32,
+                 filterD=32, z_size=32, compute_dtype="float32")
+    G, D = build_models(cfg)
+    k = jax.random.PRNGKey(0)
+    z = jax.random.normal(k, (1, cfg.z_size))
+    gp = G.init({"params": k, "noise": jax.random.PRNGKey(1),
+                 "mixing": jax.random.PRNGKey(2)}, z)
+
+    def gfwd(p):
+        o = G.apply(p, z, mutable=True,
+                    rngs={"noise": jax.random.PRNGKey(1),
+                          "mixing": jax.random.PRNGKey(2)})[0]
+        return o[0] if isinstance(o, tuple) else o
+
+    R.set_fast_fir_mode("off")
+    img = jax.jit(gfwd)(gp)
+    dp = D.init(k, img)
+    y = D.apply(dp, img, mutable=True)[0]
+    g_ref = jax.jit(jax.grad(
+        lambda p: jnp.sum(gfwd(p).astype(jnp.float32) ** 2)))(gp)
+    R.set_fast_fir_mode("on")
+    img2 = jax.jit(gfwd)(gp)
+    y2 = D.apply(dp, img2, mutable=True)[0]
+    g = jax.jit(jax.grad(
+        lambda p: jnp.sum(gfwd(p).astype(jnp.float32) ** 2)))(gp)
+
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

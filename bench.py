@@ -225,12 +225,16 @@ def main() -> None:
     if vps is None:
         raise SystemExit("benchmark failed at all batch sizes")
 
-    baseline = A100_BASELINE_VPS
+    baseline = A100_BASELINE_VPS if a.family == "biggan" else None
     measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BASELINE_MEASURED.json")
     if os.path.isfile(measured):
         with open(measured) as f:
-            baseline = float(json.load(f)["volumes_per_sec"])
+            _data = json.load(f)
+        if a.family == "biggan":
+            baseline = float(_data["volumes_per_sec"])
+        elif a.family == "stylegan2" and "stylegan2" in _data:
+            baseline = float(_data["stylegan2"]["volumes_per_sec"])
     name = ("StyleGAN2-3D" if a.family == "stylegan2" else "BigGAN-Deep-3D")
     out = {
         "metric": f"{name} {a.resolution}^3 train throughput "
@@ -238,10 +242,12 @@ def main() -> None:
         "value": round(vps, 3),
         "unit": "volumes/sec/chip",
     }
-    # the measured baseline is the biggan flagship config at 64^3; other
-    # families/resolutions have no reference measurement to divide by.
+    # measured baselines exist for the 64^3 flagship configs (biggan at the
+    # top level, stylegan2 under the "stylegan2" key — both derived by
+    # scripts/measure_reference_baseline.py); other resolutions have no
+    # reference measurement to divide by.
     out["vs_baseline"] = (round(vps / baseline, 3)
-                          if a.family == "biggan" and a.resolution == 64
+                          if a.resolution == 64 and baseline is not None
                           else None)
     print(json.dumps(out))
 

@@ -89,11 +89,12 @@ class SynthesisBlock(nn.Module):
         if img is not None:
             # FIR-upsample the accumulated image (reference
             # stylegan.py:620-634 inlines the upsample2x padding algebra).
-            f = setup_filter()
+            taps = (1, 3, 3, 1)
+            f = setup_filter(taps)
             fw = f.shape[0]
             up = 2
             p = [(fw + up - 1) // 2, (fw - up) // 2] * 3
-            img = upfirdn3d(img, f, up=up, padding=p, gain=up ** 3)
+            img = upfirdn3d(img, f, up=up, padding=p, gain=up ** 3, f1d=taps)
         if self.is_last or self.architecture == "skip":
             y = OutBlock(self.img_channels, w_dim=self.w_dim, name="torgb",
                          param_dtype=self.param_dtype)(

@@ -96,6 +96,7 @@ def modulated_conv3d(
     demodulate: bool = True,
     flip_weight: bool = True,
     fused: bool = False,
+    resample_taps=None,
 ) -> jax.Array:
     """StyleGAN2 modulated conv.
 
@@ -123,7 +124,8 @@ def modulated_conv3d(
         y = jax.vmap(
             lambda xi, wi: conv3d_resample(
                 xi[None], wi, f=resample_filter, up=up, down=down,
-                padding=padding, flip_weight=flip_weight)[0]
+                padding=padding, flip_weight=flip_weight,
+                f1d=resample_taps)[0]
         )(x, w.astype(x.dtype))
         if noise is not None:
             y = y + noise.astype(y.dtype)
@@ -141,7 +143,8 @@ def modulated_conv3d(
 
     x = x * styles.astype(x.dtype).reshape(n, 1, 1, 1, cin)
     x = conv3d_resample(x, weight.astype(x.dtype), f=resample_filter, up=up,
-                        down=down, padding=padding, flip_weight=flip_weight)
+                        down=down, padding=padding, flip_weight=flip_weight,
+                        f1d=resample_taps)
     if demodulate and noise is not None:
         x = noise.astype(x.dtype) + x * dcoefs.astype(x.dtype).reshape(
             n, 1, 1, 1, cout)
@@ -176,7 +179,8 @@ class Conv3dLayer(nn.Module):
         flip_weight = self.up == 1
         y = conv3d_resample(x, (weight * weight_gain).astype(x.dtype), f=f,
                             up=self.up, down=self.down, padding=k // 2,
-                            flip_weight=flip_weight)
+                            flip_weight=flip_weight,
+                            f1d=tuple(self.resample_taps))
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        self.param_dtype) if self.use_bias else None
         y = bias_act(y, b, act=self.activation)
@@ -233,7 +237,8 @@ class SynthesisLayer(nn.Module):
             x, weight, styles, noise=noise, up=self.up,
             padding=self.kernel_size // 2,
             resample_filter=setup_filter(self.resample_taps),
-            flip_weight=(self.up == 1), fused=fused_modconv)
+            flip_weight=(self.up == 1), fused=fused_modconv,
+            resample_taps=tuple(self.resample_taps))
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        self.param_dtype)
         y = bias_act(y, b, act=self.activation)

@@ -54,7 +54,12 @@ def set_fast_fir_mode(mode: str) -> None:
 
 def fast_fir_enabled() -> bool:
     if _FIR_MODE == "auto":
-        return False  # pending the step-level A/B (docs/PERF.md method note)
+        # Measured step-level GO (docs/PERF.md session 9): StyleGAN2 64^3
+        # batch 16 on v5e = 147.0 vol/s vs 63.9 control (2.30x). The win is
+        # the C=1 skip-pyramid upfirdns escaping XLA's batch-minor T(2,128)
+        # layout; the per-call c<=64 gate below keeps wide-channel FIRs on
+        # the already-lane-efficient depthwise conv.
+        return True
     return _FIR_MODE == "on"
 
 
@@ -135,13 +140,18 @@ def _upfirdn3d_matmul(x: jax.Array, fnp: np.ndarray, up3, down3, pads,
 # ------------------------------------------------------------------------
 
 
-def setup_filter(f1d=(1, 3, 3, 1)) -> jnp.ndarray:
-    """Reference Conv3dLayer filter construction (stylegan.py:462-465)."""
+def setup_filter_np(f1d=(1, 3, 3, 1)) -> np.ndarray:
+    """Reference Conv3dLayer filter construction (stylegan.py:462-465),
+    as numpy (used by the fast_fir static-taps path)."""
     f = np.asarray(f1d, np.float32)
     f2 = f[None, :] * f[:, None]                 # [4, 4]
     f3 = np.tile(f2, (1, len(f1d))).reshape(len(f1d), len(f1d), len(f1d))
-    f3 = f3 / f3.sum()
-    return jnp.asarray(f3)
+    return f3 / f3.sum()
+
+
+def setup_filter(f1d=(1, 3, 3, 1)) -> jnp.ndarray:
+    """Reference Conv3dLayer filter construction (stylegan.py:462-465)."""
+    return jnp.asarray(setup_filter_np(f1d))
 
 
 def _parse3(v: IntOr3) -> Tuple[int, int, int]:
@@ -165,10 +175,15 @@ def _parse_padding(padding) -> Tuple[int, int, int, int, int, int]:
 
 def upfirdn3d(x: jax.Array, f: Optional[jnp.ndarray], up: IntOr3 = 1,
               down: IntOr3 = 1, padding=0, flip_filter: bool = False,
-              gain: float = 1.0) -> jax.Array:
+              gain: float = 1.0,
+              f1d: Optional[Sequence[float]] = None) -> jax.Array:
     """Fused upsample-pad-FIR-downsample on [N, D, H, W, C].
 
     Padding follows the reference's axis convention (x=W, y=H, z=D pairs).
+    ``f1d``: the STATIC 1-D taps that built ``f`` via setup_filter. Inside
+    a lifted flax transform (remat/vmap/cond) ``f`` is a tracer, so the
+    fast_fir path cannot sniff its values; callers that know the taps pass
+    them so the separable matmul lowering stays available under jit.
     """
     if f is None:
         f = jnp.ones((1, 1, 1), jnp.float32)
@@ -179,13 +194,17 @@ def upfirdn3d(x: jax.Array, f: Optional[jnp.ndarray], up: IntOr3 = 1,
     c = x.shape[-1]
 
     # Separable spatial-matmul lowering (fast_fir; see module header). The
-    # filter must be a concrete rank-1 3-D array; the narrow-channel gate
-    # keeps the depthwise conv where it is already lane-efficient.
+    # narrow-channel gate keeps the depthwise conv where it is already
+    # lane-efficient. Tap values come from the static f1d when provided
+    # (f is a tracer under lifted flax transforms), else from a concrete f.
     if fast_fir_enabled() and f.ndim == 3 and c <= 64:
-        try:
-            fnp = np.asarray(f)
-        except Exception:
-            fnp = None
+        if f1d is not None:
+            fnp = setup_filter_np(tuple(f1d))
+        else:
+            try:
+                fnp = np.asarray(f)
+            except Exception:
+                fnp = None
         if fnp is not None:
             y = _upfirdn3d_matmul(
                 x, fnp * (gain ** (f.ndim / 3)),
@@ -231,8 +250,8 @@ def _conv(x, w, stride=1, padding=0, groups=1, flip_weight=True):
 
 def conv3d_resample(x: jax.Array, w: jax.Array, f: Optional[jnp.ndarray] = None,
                     up: int = 1, down: int = 1, padding=0, groups: int = 1,
-                    flip_weight: bool = True, flip_filter: bool = False
-                    ) -> jax.Array:
+                    flip_weight: bool = True, flip_filter: bool = False,
+                    f1d: Optional[Sequence[float]] = None) -> jax.Array:
     """Conv with optional FIR up/downsampling (reference stylegan.py:202-294).
 
     w: [kd, kh, kw, in/groups, out]. Single pre-padding, same case analysis
@@ -264,17 +283,17 @@ def conv3d_resample(x: jax.Array, w: jax.Array, f: Optional[jnp.ndarray] = None,
     # 1x1x1 kernel fast paths.
     if kw == kh == kd == 1 and down > 1 and up == 1:
         x = upfirdn3d(x, f, down=down, padding=[px0, px1, py0, py1, pz0, pz1],
-                      flip_filter=flip_filter)
+                      flip_filter=flip_filter, f1d=f1d)
         return _conv(x, w, groups=groups, flip_weight=flip_weight)
     if kw == kh == kd == 1 and up > 1 and down == 1:
         x = _conv(x, w, groups=groups, flip_weight=flip_weight)
         return upfirdn3d(x, f, up=up, padding=[px0, px1, py0, py1, pz0, pz1],
-                         gain=up ** 2, flip_filter=flip_filter)
+                         gain=up ** 2, flip_filter=flip_filter, f1d=f1d)
 
     # Downsample-only: FIR then strided conv.
     if down > 1 and up == 1:
         x = upfirdn3d(x, f, padding=[px0, px1, py0, py1, pz0, pz1],
-                      flip_filter=flip_filter)
+                      flip_filter=flip_filter, f1d=f1d)
         return _conv(x, w, stride=down, groups=groups, flip_weight=flip_weight)
 
     # Upsample: fractionally-strided conv then FIR (reference
@@ -305,9 +324,9 @@ def conv3d_resample(x: jax.Array, w: jax.Array, f: Optional[jnp.ndarray] = None,
             preferred_element_type=x.dtype)
         x = upfirdn3d(x, f, padding=[px0 + pxt, px1 + pxt, py0 + pyt,
                                      py1 + pyt, pz0 + pzt, pz1 + pzt],
-                      gain=up ** 2, flip_filter=flip_filter)
+                      gain=up ** 2, flip_filter=flip_filter, f1d=f1d)
         if down > 1:
-            x = upfirdn3d(x, f, down=down, flip_filter=flip_filter)
+            x = upfirdn3d(x, f, down=down, flip_filter=flip_filter, f1d=f1d)
         return x
 
     # Plain conv path.
@@ -320,8 +339,8 @@ def conv3d_resample(x: jax.Array, w: jax.Array, f: Optional[jnp.ndarray] = None,
     # Generic fallback.
     x = upfirdn3d(x, f if up > 1 else None, up=up,
                   padding=[px0, px1, py0, py1, pz0, pz1], gain=up ** 2,
-                  flip_filter=flip_filter)
+                  flip_filter=flip_filter, f1d=f1d if up > 1 else None)
     x = _conv(x, w, groups=groups, flip_weight=flip_weight)
     if down > 1:
-        x = upfirdn3d(x, f, down=down, flip_filter=flip_filter)
+        x = upfirdn3d(x, f, down=down, flip_filter=flip_filter, f1d=f1d)
     return x

@@ -219,6 +219,89 @@ def measure_step(G, D, batch, z_size, res, iters, warmup, iterD=2):
     return dt
 
 
+def measure_step_sg2(batch, z_size, filters, res, iters, warmup, iterD=2):
+    """The reference's exact StyleGAN2 iteration (trainer.py:208-283 with
+    p.stylegan2: iterD x loss.step_D + loss.step_G, Adam(0,0.9), the
+    weight_avg state-dict Polyak pass after every G step — trainer.py:199-206).
+
+    The reference's OWN unmodified modules (stylegan.py Generator/
+    Discriminator/StyleGAN2Loss) are imported and driven, fp32 eager (the
+    trainer's autocast/GradScaler are CUDA-only no-ops on CPU). Lazy reg
+    (R1 at step%16==0 in step_D, PL in step_G) is measured on its own and
+    amortized at the true 1/16 cadence, matching bench.py's 32-iter
+    amortization on TPU.
+
+    Returns (amortized_dt, plain_dt, reg_dt).
+    """
+    from stylegan import (Discriminator as StyleD, Generator as StyleG,
+                          StyleGAN2Loss)
+
+    class P:
+        pass
+
+    p = P()
+    p.z_size = z_size
+    p.filterG = filters
+    p.filterD = filters
+    p.stylegan2 = True
+    p.stylegan = False
+    p.device = "cpu"
+    G = StyleG(p, img_resolution=res)
+    D = StyleD(p, img_resolution=res)
+    loss = StyleGAN2Loss(p, G.mapping, G.synthesis, D)
+    optG = torch.optim.Adam(G.parameters(), lr=5e-5, betas=(0.0, 0.9))
+    optD = torch.optim.Adam(D.parameters(), lr=1e-4, betas=(0.0, 0.9))
+    real = torch.randn(batch, 1, res, res, res).clamp_(-1, 1)
+    ema_state = {k: v.clone() for k, v in G.state_dict().items()}
+
+    def weight_avg():  # trainer.py:199-206
+        state = G.state_dict()
+        for key in state:
+            state[key] = (state[key] + ema_state[key]) / 2.0
+        G.load_state_dict(state)
+        ema_state.clear()
+        ema_state.update(state)
+
+    def iteration(step):
+        for _ in range(iterD):
+            for q in D.parameters():
+                q.requires_grad = True
+            D.zero_grad()
+            noise = torch.randn(batch, z_size, 1, 1, 1)
+            loss.step_D(step, real, noise)
+            optD.step()
+            for q in D.parameters():
+                q.requires_grad = False
+        for q in G.parameters():
+            q.requires_grad = True
+        G.zero_grad()
+        noise = torch.randn(batch, z_size, 1, 1, 1)
+        loss.step_G(step, noise)
+        optG.step()
+        for q in G.parameters():
+            q.requires_grad = False
+        weight_avg()
+
+    def timed(step0, n, tag):
+        t0 = time.perf_counter()
+        for k in range(n):
+            t = time.perf_counter()
+            iteration(step0 + k if tag == "plain" else step0)
+            print(f"# {tag} iter {k}: {time.perf_counter() - t:.0f}s",
+                  flush=True)
+        return (time.perf_counter() - t0) / n
+
+    for k in range(warmup):
+        t = time.perf_counter()
+        iteration(1 + k)
+        print(f"# warmup iter {k}: {time.perf_counter() - t:.0f}s",
+              flush=True)
+    plain_dt = timed(17, iters, "plain")      # never hits step%16==0
+    reg_dt = timed(16, max(1, iters // 2), "reg")  # R1 (x iterD) + PL
+    dt = (15 * plain_dt + reg_dt) / 16.0
+    return dt, plain_dt, reg_dt
+
+
 def measure_gemm(n=2048, iters=8):
     a = torch.randn(n, n)
     b = torch.randn(n, n)
@@ -262,6 +345,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--filters", type=int, default=64)
     ap.add_argument("--z", type=int, default=512)
+    ap.add_argument("--family", default="biggan",
+                    choices=["biggan", "stylegan2"])
     ap.add_argument("--write", action="store_true")
     a = ap.parse_args()
     torch.manual_seed(0)
@@ -271,6 +356,53 @@ def main():
           flush=True)
     gemm = measure_gemm()
     print(f"# host sustained fp32 GEMM: {gemm / 1e9:.1f} GFLOP/s", flush=True)
+
+    if a.family == "stylegan2":
+        dt, plain_dt, reg_dt = measure_step_sg2(
+            a.batch, a.z, a.filters, 64, a.iters, a.warmup)
+        vps_cpu = a.batch / dt
+        print(f"# reference sg2 step (1/16-amortized): {dt:.1f} s -> "
+              f"{vps_cpu:.3f} vol/s on host CPU "
+              f"(plain {plain_dt:.1f}s, reg {reg_dt:.1f}s)", flush=True)
+        # Roofline transfer (FLOP count cancels): t_A100 = t_cpu * gemm_cpu
+        # / gemm_A100, same GEMM-fraction assumption as the biggan path.
+        vps_a100_high = vps_cpu * A100_GEMM_FP16 / gemm
+        vps_a100_low = vps_cpu * A100_GEMM_TF32 / gemm
+        vps_a100 = float(np.sqrt(vps_a100_low * vps_a100_high))
+        print(f"# A100 estimate: {vps_a100:.1f} vol/s "
+              f"[{vps_a100_low:.1f} (TF32) .. {vps_a100_high:.1f} (fp16)]",
+              flush=True)
+        sub = {
+            "volumes_per_sec": round(vps_a100, 2),
+            "band": [round(vps_a100_low, 2), round(vps_a100_high, 2)],
+            "hardware": "A100 (derived)",
+            "method": ("measured torch reference (reference's own "
+                       "stylegan.py modules, StyleGAN2-3D 64^3 batch %d, "
+                       "iterD=2, lazy reg amortized 1/16, fp32 eager) on "
+                       "host CPU; A100 derived by GEMM-ratio roofline "
+                       "transfer" % a.batch),
+            "cpu_measured": {
+                "volumes_per_sec": round(vps_cpu, 4),
+                "step_seconds": round(dt, 2),
+                "plain_step_seconds": round(plain_dt, 2),
+                "reg_step_seconds": round(reg_dt, 2),
+                "host_gemm_gflops": round(gemm / 1e9, 1),
+                "threads": n_threads,
+            },
+        }
+        print(json.dumps(sub, indent=2))
+        if a.write:
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BASELINE_MEASURED.json")
+            data = {}
+            if os.path.isfile(path):
+                with open(path) as f:
+                    data = json.load(f)
+            data["stylegan2"] = sub
+            with open(path, "w") as f:
+                json.dump(data, f, indent=2)
+            print(f"# updated {path} [stylegan2]", flush=True)
+        return
     convs = measure_hot_convs(a.batch)
     for r in convs:
         print(f"# conv {r['conv']}: {r['ms']} ms, {r['gflops']} GFLOP/s",

@@ -92,8 +92,36 @@ def test_gates():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
-def test_default_off():
-    assert not R.fast_fir_enabled()  # auto = off until the step-level A/B
+def test_default_on():
+    # auto = on since the measured step-level GO (147.0 vs 63.9 vol/s on
+    # the 64^3 StyleGAN2 TPU A/B — docs/PERF.md session 9).
+    assert R.fast_fir_enabled()
+
+
+def test_fast_path_fires_under_jit_via_static_taps(monkeypatch):
+    """Regression: inside jit/lifted transforms the filter is a tracer, so
+    np.asarray(f) fails and the fast path silently fell back; threading the
+    static f1d taps must keep the matmul lowering live under tracing."""
+    calls = []
+    orig = R._upfirdn3d_matmul
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(R, "_upfirdn3d_matmul", spy)
+    R.set_fast_fir_mode("on")
+    f = R.setup_filter()
+    x = jnp.zeros((1, 4, 4, 4, 1), jnp.float32)
+
+    @jax.jit
+    def run(x_, f_):
+        return R.upfirdn3d(x_, f_, up=2, padding=[2, 1] * 3, gain=8.0,
+                           f1d=(1, 3, 3, 1))
+
+    run(x, f)
+    assert calls and all(calls)
 
 
 def test_through_stylegan2_models():

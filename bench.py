@@ -100,8 +100,13 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
     from gan3d_tpu.config import Config
     from gan3d_tpu.train.trainer import Trainer
 
-    fam_kw = ({"stylegan2": True} if family == "stylegan2"
-              else {"biggan": True, "hinge": True})
+    fam_kw = {
+        "biggan": {"biggan": True, "hinge": True},
+        "stylegan2": {"stylegan2": True},
+        "stylegan": {"stylegan": True},
+        "dcgan": {"dcgan": True},  # reference default variant: WGAN loss,
+                                   # LayerNorm D (dcgan.py:158-182)
+    }[family]
     cfg = Config(resolution=resolution, filterG=filters, filterD=filters,
                  z_size=512, batch_size=batch_size, iterD=2, remat=remat,
                  remat_scope=remat_scope,
@@ -131,12 +136,20 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
 
     state = tr.state
     t = time.perf_counter()
+    cache_dir = jax.config.jax_compilation_cache_dir
+    n_cache0 = (len(os.listdir(cache_dir))
+                if cache_dir and os.path.isdir(cache_dir) else 0)
     # warmup from i=0 so stylegan2 compiles BOTH lazy-reg programs (i%16==0
     # fires the reg step).
     for i in range(warmup):
         state, metrics, _ = tr._step(state, reals, tr._base_key, i)
     sync(metrics)
-    print(f"# compile+warmup {time.perf_counter() - t:.1f}s",
+    compile_s = time.perf_counter() - t
+    n_cache1 = (len(os.listdir(cache_dir))
+                if cache_dir and os.path.isdir(cache_dir) else 0)
+    new = n_cache1 - n_cache0
+    print(f"# compile+warmup {compile_s:.1f}s; persistent cache "
+          f"{'MISS (%d new entr%s written)' % (new, 'y' if new == 1 else 'ies') if new else 'HIT (no new entries)'}",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for i in range(warmup, warmup + iters):
@@ -154,7 +167,7 @@ def main() -> None:
     p.add_argument("--resolution", type=int, default=64)
     p.add_argument("--filters", type=int, default=64)
     p.add_argument("--family", default="biggan",
-                   choices=["biggan", "stylegan2"])
+                   choices=["biggan", "stylegan2", "stylegan", "dcgan"])
     p.add_argument("--fused_step", default="True")
     p.add_argument("--fast_conv", default="auto",
                    choices=["auto", "on", "off"],
@@ -191,7 +204,7 @@ def main() -> None:
     _init_backend_or_die()
     _enable_compile_cache()
     fused = str(a.fused_step).lower() in ("1", "true", "yes")
-    if a.family == "stylegan2":
+    if a.family in ("stylegan2", "stylegan"):
         # lazy regularization fires every 16 steps; amortize exactly.
         iters = 16 if a.quick else 32
         warmup = 2
@@ -226,6 +239,7 @@ def main() -> None:
         raise SystemExit("benchmark failed at all batch sizes")
 
     baseline = A100_BASELINE_VPS if a.family == "biggan" else None
+    band = None
     measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BASELINE_MEASURED.json")
     if os.path.isfile(measured):
@@ -233,22 +247,28 @@ def main() -> None:
             _data = json.load(f)
         if a.family == "biggan":
             baseline = float(_data["volumes_per_sec"])
-        elif a.family == "stylegan2" and "stylegan2" in _data:
-            baseline = float(_data["stylegan2"]["volumes_per_sec"])
-    name = ("StyleGAN2-3D" if a.family == "stylegan2" else "BigGAN-Deep-3D")
+            band = _data.get("band")
+        elif a.family in _data:
+            baseline = float(_data[a.family]["volumes_per_sec"])
+            band = _data[a.family].get("band")
+    name = {"stylegan2": "StyleGAN2-3D", "stylegan": "StyleGAN1-3D",
+            "dcgan": "DCGAN-3D", "biggan": "BigGAN-Deep-3D"}[a.family]
     out = {
         "metric": f"{name} {a.resolution}^3 train throughput "
                   f"(batch {used}, iterD=2{', hinge' if a.family == 'biggan' else ''})",
         "value": round(vps, 3),
         "unit": "volumes/sec/chip",
     }
-    # measured baselines exist for the 64^3 flagship configs (biggan at the
-    # top level, stylegan2 under the "stylegan2" key — both derived by
-    # scripts/measure_reference_baseline.py); other resolutions have no
-    # reference measurement to divide by.
-    out["vs_baseline"] = (round(vps / baseline, 3)
-                          if a.resolution == 64 and baseline is not None
-                          else None)
+    # measured baselines exist per family in BASELINE_MEASURED.json (derived
+    # by scripts/measure_reference_baseline.py); other resolutions have no
+    # reference measurement to divide by. The denominator is a derived-A100
+    # estimate with transfer-method bounds, so alongside the point ratio we
+    # emit vs_baseline_band = [value/band_hi, value/band_lo] (VERDICT r2 #6).
+    at64 = a.resolution == 64 and baseline is not None
+    out["vs_baseline"] = round(vps / baseline, 3) if at64 else None
+    if at64 and band:
+        out["vs_baseline_band"] = [round(vps / float(band[1]), 3),
+                                   round(vps / float(band[0]), 3)]
     print(json.dumps(out))
 
 

@@ -63,14 +63,13 @@ def count_sg2(batch: int, z_size: int, filters: int, res: int,
     real = torch.randn(batch, 1, res, res, res).clamp_(-1, 1)
     ema_state = {k: v.clone() for k, v in G.state_dict().items()}
 
-    counter = OpCounter()
-    with counter:
+    def iteration(s):
         for _ in range(iterD):
             for q in D.parameters():
                 q.requires_grad = True
             D.zero_grad()
             noise = torch.randn(batch, z_size, 1, 1, 1)
-            loss.step_D(step, real, noise)
+            loss.step_D(s, real, noise)
             optD.step()
             for q in D.parameters():
                 q.requires_grad = False
@@ -78,7 +77,7 @@ def count_sg2(batch: int, z_size: int, filters: int, res: int,
             q.requires_grad = True
         G.zero_grad()
         noise = torch.randn(batch, z_size, 1, 1, 1)
-        loss.step_G(step, noise)
+        loss.step_G(s, noise)
         optG.step()
         for q in G.parameters():
             q.requires_grad = False
@@ -87,13 +86,31 @@ def count_sg2(batch: int, z_size: int, filters: int, res: int,
         for key in state:
             state[key] = (state[key] + ema_state[key]) / 2.0
         G.load_state_dict(state)
+
+    # Steady state: the reference trainer toggles requires_grad around each
+    # step so that during the D-steps the G params do NOT require grad (and
+    # vice versa) — fresh-constructed params default to requires_grad=True,
+    # which would make loss_Dgen.backward() traverse the full G backward
+    # graph iterD extra times per iteration. Freeze both nets first, then
+    # run ONE uncounted warmup iteration to absorb Adam's lazy state init
+    # and any first-call buffers (matches measure_step_sg2's warmup).
+    for q in list(G.parameters()) + list(D.parameters()):
+        q.requires_grad = False
+    iteration(1)  # warmup (plain step; inits all Adam state), not counted
+
+    counter = OpCounter()
+    with counter:
+        iteration(step)
     return counter.n
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--filters", type=int, default=128)
+    # default 64 = the baseline config (measure_reference_baseline.py and
+    # bench.py both use filters=64); BASELINE_MEASURED.json's recorded
+    # ops_per_iteration were counted at filters=64.
+    ap.add_argument("--filters", type=int, default=64)
     ap.add_argument("--z", type=int, default=512)
     ap.add_argument("--res", type=int, default=64)
     ap.add_argument("--step", type=int, default=17,

@@ -16,11 +16,13 @@ Layout mappings are the exact inverses documented in eval/convert.py:
 - `spectral` {u, v} + kernel -> torch parametrize keys
   (`<mod>.parametrizations.weight.original` / `.0._u` / `.0._v`)
 
-Families: DCGAN (all four D variants) and the BigGAN/SNGAN/SAGAN deep
-family — the ones the reference's own eval/tournament load (its eval.py:
-15-29 handles exactly dcgan-vs-biggan). StyleGAN export is not implemented
-(the reference's stylegan paths crash as shipped; converted checkpoints
-would have nothing upstream to load them).
+Families: all five — DCGAN (all four D variants), the BigGAN/SNGAN/SAGAN
+deep family, and StyleGAN-1/2 (mapping/synthesis/D state_dicts in the
+reference's stylegan.py:697-928 naming; 2-D noise_const buffers emitted
+seeded so strict loading passes — see export_stylegan2_g). A checkpoint
+exported this way loads via the reference's own resume path
+(trainer.py:128-151, incl. the stylegan2 EMA-seeding at :133-134 which
+re-seeds G_ema_state from modelG_state_dict).
 
 Optimizer states export as EMPTY torch-Adam state dicts with correct
 param_groups (torch fills moments lazily on the first step); a torch-side
@@ -251,6 +253,111 @@ def export_biggan_d(variables: Tree, cfg: Config) -> SD:
 
 
 # ---------------------------------------------------------------------------
+# StyleGAN family (inverse of convert_stylegan2_g / convert_stylegan_d /
+# convert_stylegan1_g; reference module naming from stylegan.py:697-928)
+# ---------------------------------------------------------------------------
+def _fc_out(sd: SD, prefix: str, params: Tree, key: str = "weight") -> None:
+    """Our FullyConnectedLayer/Dense [I,O] -> torch Linear-style [O,I]."""
+    sd[f"{prefix}.weight"] = _np32(params[key]).T
+    if "bias" in params:
+        sd[f"{prefix}.bias"] = _np32(params["bias"])
+
+
+def _style_conv_w_out(sd: SD, prefix: str, params: Tree) -> None:
+    """Our [k,k,k,I,O] raw style-conv weight -> torch [O,I,k,k,k]."""
+    sd[f"{prefix}.weight"] = _np32(params["weight"]).transpose(4, 3, 0, 1, 2)
+    if "bias" in params:
+        sd[f"{prefix}.bias"] = _np32(params["bias"])
+
+
+def export_stylegan2_g(variables: Tree, cfg: Config) -> SD:
+    """Inverse of convert_stylegan2_g (reference stylegan.py:697-718):
+    mapping.fc0..7 + w_avg buffer; synthesis.b{res} blocks with const /
+    conv0 / conv1 / torgb (affine + raw weight + bias + noise_strength).
+
+    The reference registers a 2-D [res, res] `noise_const` buffer per
+    SynthesisLayer (stylegan.py:515) that our model does not carry (we
+    sample proper 3-D noise volumes; quirk documented in
+    models/stylegan/layers.py) — strict torch loading needs the keys, so we
+    emit seeded standard-normal buffers, matching the reference's own
+    fresh-init semantics (they are only read in noise_mode='const')."""
+    params = variables.get("params", {})
+    moving = variables.get("moving", {})
+    sd: SD = {}
+    for fc, p in sorted(params.get("mapping", {}).items()):
+        _fc_out(sd, f"mapping.{fc}", p)
+    w_avg = moving.get("mapping", {}).get("w_avg")
+    sd["mapping.w_avg"] = (_np32(w_avg) if w_avg is not None
+                           else np.zeros((512,), np.float32))
+
+    rng = np.random.default_rng(0)
+    syn = params.get("synthesis", {})
+    for bname in sorted(syn, key=lambda b: int(b[1:])):
+        blk = syn[bname]
+        res = int(bname[1:])
+        if "const" in blk:  # ours [res,res,res,C] -> torch [C,res,res,res]
+            sd[f"synthesis.{bname}.const"] = \
+                _np32(blk["const"]).transpose(3, 0, 1, 2)
+        for lname in ("conv0", "conv1", "torgb"):
+            if lname not in blk:
+                continue
+            prefix = f"synthesis.{bname}.{lname}"
+            layer = blk[lname]
+            _style_conv_w_out(sd, prefix, layer)
+            _fc_out(sd, f"{prefix}.affine", layer["affine"])
+            if "noise_strength" in layer:  # SynthesisLayer, not OutBlock
+                sd[f"{prefix}.noise_strength"] = _np32(
+                    layer["noise_strength"])
+                sd[f"{prefix}.noise_const"] = rng.standard_normal(
+                    (res, res)).astype(np.float32)
+    return sd
+
+
+def export_stylegan_d(variables: Tree, cfg: Config) -> SD:
+    """Inverse of convert_stylegan_d (reference stylegan.py:883-928):
+    resnet blocks b{res} (fromrgb on the first, conv0, conv1 down, biasless
+    skip) + epilogue b4 (conv, fc over the flattened 4^3 volume, out). The
+    epilogue fc converts our NDHWC flatten order back to torch's NCDHW."""
+    params = variables.get("params", {})
+    sd: SD = {}
+    for bname, blk in params.items():
+        for lname in ("fromrgb", "conv0", "conv1", "skip", "conv"):
+            if lname in blk:
+                _style_conv_w_out(sd, f"{bname}.{lname}", blk[lname])
+        for lname in ("fc", "out"):
+            if lname not in blk:
+                continue
+            w = _np32(blk[lname]["weight"]).T  # ours [in,O] -> [O,in]
+            if lname == "fc":
+                o, flat = w.shape
+                c = flat // 64
+                w = w.reshape(o, 4, 4, 4, c).transpose(0, 4, 1, 2, 3)
+                w = w.reshape(o, flat)
+            sd[f"{bname}.{lname}.weight"] = w
+            if "bias" in blk[lname]:
+                sd[f"{bname}.{lname}.bias"] = _np32(blk[lname]["bias"])
+    return sd
+
+
+def export_stylegan1_g(variables: Tree, cfg: Config) -> SD:
+    """Inverse of convert_stylegan1_g (reference stylegan.py:969-1148):
+    latentMapping Sequential Linears at even indices <- map0..7; C{i}.0 /
+    C_out.0 biasless convs; A{i} affine Linears."""
+    params = variables.get("params", {})
+    sd: SD = {}
+    for name, p in params.items():
+        if name.startswith("map"):
+            _fc_out(sd, f"latentMapping.{2 * int(name[3:])}", p,
+                    key="kernel")
+        elif name == "C_out" or name.startswith("C"):
+            sd[f"{name}.0.weight"] = _np32(p["kernel"]).transpose(
+                4, 3, 0, 1, 2)
+        elif name.startswith("A"):
+            _fc_out(sd, name, p, key="kernel")
+    return sd
+
+
+# ---------------------------------------------------------------------------
 # run-level entry
 # ---------------------------------------------------------------------------
 def export_state_dicts(g_vars: Tree, d_vars: Tree, cfg: Config
@@ -262,9 +369,14 @@ def export_state_dicts(g_vars: Tree, d_vars: Tree, cfg: Config
         return export_biggan_g(g_vars, cfg), export_dcgan_d(d_vars, cfg)
     if fam == "biggan":
         return export_biggan_g(g_vars, cfg), export_biggan_d(d_vars, cfg)
+    if fam == "stylegan2":
+        return (export_stylegan2_g(g_vars, cfg),
+                export_stylegan_d(d_vars, cfg))
+    if fam == "stylegan":
+        return (export_stylegan1_g(g_vars, cfg),
+                export_stylegan_d(d_vars, cfg))
     raise NotImplementedError(
-        f"torch export for family '{fam}' not implemented (the reference's "
-        "stylegan paths crash as shipped — nothing upstream loads them)")
+        f"torch export for family '{fam}' not implemented")
 
 
 def _empty_adam_state(n_params: int, lr: float) -> Dict[str, Any]:
@@ -285,7 +397,8 @@ def _empty_adam_state(n_params: int, lr: float) -> Dict[str, Any]:
 
 def _count_torch_params(sd: SD) -> int:
     """Trainable-param count in state_dict order (buffers excluded)."""
-    skip = ("running_mean", "running_var", "num_batches_tracked", "_u", "_v")
+    skip = ("running_mean", "running_var", "num_batches_tracked", "_u", "_v",
+            "w_avg", "noise_const")
     return sum(1 for k in sd if not k.endswith(skip))
 
 
@@ -316,9 +429,11 @@ def export_checkpoint(run_dir: str, out_dir: str) -> str:
             hist = json.load(f)
     payload = {
         "step": int(np.asarray(raw["step"])),
-        "modelG_state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+        # np.array (not ascontiguousarray, which promotes 0-d to (1,) and
+        # would corrupt scalar params like stylegan2's noise_strength)
+        "modelG_state_dict": {k: torch.from_numpy(np.array(v))
                               for k, v in g_sd.items()},
-        "modelD_state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+        "modelD_state_dict": {k: torch.from_numpy(np.array(v))
                               for k, v in d_sd.items()},
         "optimizerG_state_dict": _empty_adam_state(
             _count_torch_params(g_sd), cfg.lrG),

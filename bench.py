@@ -91,7 +91,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
             xla_vmem: int = -1, fast_dw: str = "auto",
             wide_conv: str = "auto", downconv_vjp: str = "auto",
             fast_stem: str = "auto", fast_head: str = "auto",
-            fast_fir: str = "auto") -> float:
+            fast_fir: str = "auto", fast_c1: str = "auto") -> float:
     import tempfile
 
     import jax
@@ -113,7 +113,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
                  channel_ratio=channel_ratio, fused_step=fused,
                  fast_conv=fast_conv, fast_dw=fast_dw, wide_conv=wide_conv,
                  downconv_vjp=downconv_vjp, fast_stem=fast_stem,
-                 fast_head=fast_head, fast_fir=fast_fir,
+                 fast_head=fast_head, fast_fir=fast_fir, fast_c1=fast_c1,
                  fid_in_loop=False,
                  xla_vmem_limit_kib=xla_vmem,
                  log_dir=tempfile.mkdtemp(prefix="bench_"),
@@ -194,6 +194,10 @@ def main() -> None:
                    help="tap-map Co=1 head conv (ops/tap_conv.py)")
     p.add_argument("--fast_fir", default="auto",
                    help="separable matmul upfirdn3d (stylegan resample)")
+    p.add_argument("--fast_c1", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="banded-matmul tiny-channel k=3 convs "
+                        "(ops/c1_conv.py)")
     p.add_argument("--wide_conv", default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas transposed-layout conv (ops/wide_conv.py)")
@@ -228,7 +232,7 @@ def main() -> None:
                           a.channel_ratio, a.family, fused, a.fast_conv,
                           a.remat_scope, a.xla_vmem, a.fast_dw, a.wide_conv,
                           a.downconv_vjp, a.fast_stem, a.fast_head,
-                          a.fast_fir)
+                          a.fast_fir, a.fast_c1)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback

@@ -199,7 +199,15 @@ class Config:
                                  # resample.py): the C<=64 depthwise FIRs
                                  # run at 0.1 TF/s in XLA's degenerate
                                  # C=1 layout (~80% of the sg2 step).
-                                 # "auto" = off pending the step A/B.
+                                 # Measured GO: 2.30x (PERF.md session 9);
+                                 # "auto" = on (c<=64 per-call gate).
+    fast_c1: str = "auto"        # tiny-channel k=3 convs as one banded
+                                 # spatial-matmul einsum (ops/c1_conv.py):
+                                 # the 1-2-channel sg2 top-res blocks run
+                                 # at 0.1-0.2 TF/s in XLA's degenerate
+                                 # layout (68% of the sg2 64^3 step,
+                                 # round-3 trace). Measured GO: 264.9 vs
+                                 # 147.0 vol/s (1.80x) — "auto" = on (TPU).
     xla_vmem_limit_kib: int = -1  # scoped-VMEM fusion budget passed to the
                                   # TPU compiler (xla_tpu_scoped_vmem_limit_kib)
                                   # for the train-step programs, via

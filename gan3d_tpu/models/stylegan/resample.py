@@ -331,6 +331,20 @@ def conv3d_resample(x: jax.Array, w: jax.Array, f: Optional[jnp.ndarray] = None,
 
     # Plain conv path.
     if up == 1 and down == 1:
+        if min(px0, px1, py0, py1, pz0, pz1) >= 0:
+            # fast_c1: tiny-channel k=3 stencils (the 1-2-channel blocks
+            # of the sg2 top resolutions) lower to one banded-matmul
+            # einsum on the MXU instead of a degenerate-layout XLA conv
+            # (ops/c1_conv.py; round-3 trace: 68% of the sg2 64^3 step).
+            from gan3d_tpu.ops.c1_conv import (fast_c1_enabled,
+                                               small_conv3d,
+                                               small_conv3d_applicable)
+
+            if fast_c1_enabled() and small_conv3d_applicable(
+                    x.shape, w.shape, groups):
+                wk = w if flip_weight else jnp.flip(w, axis=(0, 1, 2))
+                return small_conv3d(x, wk.astype(x.dtype),
+                                    ((pz0, pz1), (py0, py1), (px0, px1)))
         if px0 == px1 and py0 == py1 and pz0 == pz1 \
                 and px0 >= 0 and py0 >= 0 and pz0 >= 0:
             return _conv(x, w, padding=[(pz0, pz0), (py0, py0), (px0, px0)],

@@ -1,0 +1,117 @@
+"""Banded spatial-matmul lowering for tiny-channel k=3 convs (fast_c1).
+
+The round-3 StyleGAN2 64^3 step trace (docs/PERF.md) shows 68% of device
+time in C=1->1 k=3 convolutions at 64^3/65^3 running at 0.1-0.2 TF/s and
+~5 GB/s: at the reference's sg2 channel table (channel_base = filterG =
+64 -> min(64/res, 512) channels), the top-resolution blocks are 1-2
+channels wide, and XLA's T(2,128) tiling puts batch (16) in lanes and
+C=1 in sublanes, wasting ~99% of every tile on padding. This is the same
+degenerate-layout class the separable fast_fir lowering closed for the
+FIR resamples (2.30x end-to-end, PERF.md session 9) — but trained k=3^3
+kernels are not separable, so the 1-D-band trick does not apply directly.
+
+Lowering: express the stencil as ONE einsum whose contraction rides the
+MXU with the W axis (>= 32) in lanes on both operands:
+
+    y[n,d,h,v,o] = sum_{t=(kd,kh), u, i}  X_t[n,d,h,u,i] * B[t,i,o,u,v]
+
+where X_t are the 9 (D,H)-shifted views of the (D,H)-padded input and
+B[t,i,o] are banded [W, W_out] matrices assembled from the kernel taps
+via three STATIC shifted identities:  B[t,i,o] = sum_kw w[t,kw,i,o] S_kw.
+The band assembly is differentiable (S_kw are constants), so autodiff
+produces dx and dW as the transposed GEMMs of the same shape — no custom
+VJP needed, and the backward escapes the degenerate layout for free.
+
+FLOPs inflate ~(W/3)-fold (the band is mostly zeros), but the op moves
+from ~5 GB/s VPU shuffling to MXU GEMM rates; at W=64, C=1 the einsum is
+a [N*D*H, 9W] x [9W, W] GEMM (~4.8 GFLOP vs the stencil's 0.23) that the
+MXU finishes in ~0.1 ms where XLA's conv took 3.4 ms.
+
+Go/no-go: parity-gated (tests/test_c1_conv.py), measured end-to-end by
+bench.py A/B only (the 4-for-4 method lesson, docs/PERF.md session 8).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MODE = os.environ.get("GAN3D_FAST_C1", "auto")
+
+
+def set_fast_c1_mode(mode: str) -> None:
+    global _MODE
+    assert mode in ("off", "auto", "on"), mode
+    _MODE = mode
+
+
+def fast_c1_enabled() -> bool:
+    if _MODE == "auto":
+        # Measured GO (docs/PERF.md round 3 session 2): StyleGAN2 64^3
+        # batch 16 on v5e = 264.9 vol/s vs 147.0 control (1.80x step-level
+        # bench.py A/B). CPU (tests) keeps XLA's native conv.
+        return jax.default_backend() == "tpu"
+    return _MODE == "on"
+
+
+def small_conv3d_applicable(x_shape: Tuple[int, ...],
+                            w_shape: Tuple[int, ...],
+                            groups: int) -> bool:
+    """Shape gate: stride-1 k=3^3 convs whose channel product is tiny and
+    whose W axis is lane-sized. Wider channels (>= 4x4) already pack lanes
+    acceptably in XLA's native layout, and small W wastes the band GEMM."""
+    kd, kh, kw, ci, co = w_shape
+    return (groups == 1 and kd == kh == kw == 3
+            and ci * co <= 4 and x_shape[-2] >= 32)
+
+
+@lru_cache(maxsize=None)
+def _shift_bands(w_in: int, k: int, p0: int, p1: int) -> np.ndarray:
+    """S[kw, u, v] with y[v] += x[u] * w[kw]  where u = v - p0 + kw:
+    the k static shifted identities that assemble a banded [W_in, W_out]
+    matrix from kernel taps along the lane axis."""
+    w_out = w_in + p0 + p1 - (k - 1)
+    s = np.zeros((k, w_in, w_out), np.float32)
+    for t in range(k):
+        for v in range(w_out):
+            u = v - p0 + t
+            if 0 <= u < w_in:
+                s[t, u, v] = 1.0
+    return s
+
+
+def small_conv3d(x: jax.Array, w: jax.Array,
+                 pads: Tuple[Tuple[int, int], ...]) -> jax.Array:
+    """Stride-1 3-D correlation on [N, D, H, W, Ci] with kernel
+    [kd, kh, kw, Ci, Co] (torch conv semantics — pre-flip the kernel for
+    true convolution), lowered to one banded-matmul einsum.
+
+    ``pads``: ((pz0, pz1), (py0, py1), (px0, px1)), all non-negative.
+    Matches lax.conv_general_dilated(x, w, (1,1,1), pads, NDHWC/DHWIO).
+    """
+    n, d, h, wi, ci = x.shape
+    kd, kh, kw, wci, co = w.shape
+    assert wci == ci, (w.shape, x.shape)
+    (pz0, pz1), (py0, py1), (px0, px1) = pads
+    do = d + pz0 + pz1 - (kd - 1)
+    ho = h + py0 + py1 - (kh - 1)
+
+    s = jnp.asarray(_shift_bands(wi, kw, px0, px1))       # [kw, W, Wo]
+    # B[(kd,kh), i, o, u, v] — differentiable in w (S is constant)
+    b = jnp.einsum("zyxio,xuv->zyiouv", w.astype(jnp.float32), s)
+    b = b.reshape(kd * kh, ci, co, wi, -1).astype(x.dtype)
+
+    xp = jnp.pad(x, ((0, 0), (pz0, pz1), (py0, py1), (0, 0), (0, 0)))
+    xs = jnp.stack([
+        jax.lax.slice(xp, (0, iz, iy, 0, 0),
+                      (n, iz + do, iy + ho, wi, ci))
+        for iz in range(kd) for iy in range(kh)
+    ])                                                     # [9, N, Do, Ho, W, Ci]
+    y = jnp.einsum("tndhui,tiouv->ndhvo", xs, b,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)

@@ -103,6 +103,8 @@ class Trainer:
         set_fast_head_mode(fh)
         from gan3d_tpu.models.stylegan.resample import set_fast_fir_mode
         set_fast_fir_mode(cfg.fast_fir)
+        from gan3d_tpu.ops.c1_conv import set_fast_c1_mode
+        set_fast_c1_mode(cfg.fast_c1)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):

@@ -143,6 +143,62 @@ class RefD64(nn.Module):
         return self.linear(h)
 
 
+class RefDCGAN_G64(nn.Module):
+    """The reference DCGAN G (dcgan.py:44-70) at 64^3: the same
+    [ConvTranspose3d(4, s2, p1), BN, ReLU] ladder with one fewer stage —
+    channels [8,4,2,1]*ngf (the pattern config.dcgan_g_channels derives),
+    normal(0, 0.02) init (dcgan.py:76-82)."""
+
+    def __init__(self, filters=64, z=512):
+        super().__init__()
+        self.dim_z = z
+        chans = [filters * m for m in (8, 4, 2, 1)]
+        layers = [nn.ConvTranspose3d(z, chans[0], 4, stride=1),
+                  nn.BatchNorm3d(chans[0]), nn.ReLU(True)]
+        for cin, cout in zip(chans[:-1], chans[1:]):
+            layers += [nn.ConvTranspose3d(cin, cout, 4, stride=2, padding=1),
+                       nn.BatchNorm3d(cout), nn.ReLU(True)]
+        layers += [nn.ConvTranspose3d(chans[-1], 1, 4, stride=2, padding=1),
+                   nn.Tanh()]
+        self.main = nn.Sequential(*layers)
+        for m in self.modules():
+            if isinstance(m, (nn.ConvTranspose3d,)):
+                nn.init.normal_(m.weight.data, 0.0, 0.02)
+            elif isinstance(m, nn.BatchNorm3d):
+                nn.init.normal_(m.weight.data, 1.0, 0.02)
+                nn.init.constant_(m.bias.data, 0)
+
+    def forward(self, z):
+        return self.main(z)
+
+
+class RefDCGAN_D64(nn.Module):
+    """The reference WGAN-default DCGAN D (dcgan.py:158-182) at 64^3:
+    [Conv3d(4, s2, p1, bias=False), LayerNorm, LeakyReLU(0.2)] ladder with
+    one fewer stage — channels [1,2,4,8]*ndf — and the final 4^3 conv."""
+
+    def __init__(self, filters=64):
+        super().__init__()
+        chans = [filters * m for m in (1, 2, 4, 8)]
+        layers = []
+        cin, res = 1, 64
+        for c in chans:
+            res //= 2
+            layers += [nn.Conv3d(cin, c, 4, stride=2, padding=1, bias=False),
+                       nn.LayerNorm([c, res, res, res]),
+                       nn.LeakyReLU(0.2, inplace=True)]
+            cin = c
+        layers += [nn.Conv3d(cin, 1, (4, 4, 4), stride=1, padding=0,
+                             bias=False)]
+        self.main = nn.Sequential(*layers)
+        for m in self.modules():
+            if isinstance(m, nn.Conv3d):
+                nn.init.normal_(m.weight.data, 0.0, 0.02)
+
+    def forward(self, x):
+        return self.main(x)
+
+
 def count_forward_flops(model, x):
     """Conv/linear/bmm forward FLOPs via hooks (2*MACs)."""
     flops = [0]
@@ -151,12 +207,19 @@ def count_forward_flops(model, x):
         k = np.prod(mod.kernel_size)
         flops[0] += 2 * out.numel() * mod.in_channels * k
 
+    def tconv_hook(mod, inp, out):
+        # transposed conv: each INPUT element scatters into k^3 x Cout
+        k = np.prod(mod.kernel_size)
+        flops[0] += 2 * inp[0].numel() * mod.out_channels * k
+
     def lin_hook(mod, inp, out):
         flops[0] += 2 * out.numel() * mod.in_features
 
     handles = []
     for m in model.modules():
-        if isinstance(m, nn.Conv3d):
+        if isinstance(m, nn.ConvTranspose3d):
+            handles.append(m.register_forward_hook(tconv_hook))
+        elif isinstance(m, nn.Conv3d):
             handles.append(m.register_forward_hook(conv_hook))
         elif isinstance(m, nn.Linear):
             handles.append(m.register_forward_hook(lin_hook))
@@ -167,10 +230,14 @@ def count_forward_flops(model, x):
     return flops[0]
 
 
-def measure_step(G, D, batch, z_size, res, iters, warmup, iterD=2):
-    """The reference's exact iteration (trainer.py:208-283): iterD hinge
-    D-steps + 1 G-step, Adam(0,0.9), requires_grad toggling, GradScaler
-    (no-op on CPU, like autocast — AMP is CUDA-only; fp32 eager)."""
+def measure_step(G, D, batch, z_size, res, iters, warmup, iterD=2,
+                 loss="hinge"):
+    """The reference's exact iteration (trainer.py:208-283): iterD D-steps
+    + 1 G-step, Adam(0,0.9), requires_grad toggling, GradScaler (no-op on
+    CPU, like autocast — AMP is CUDA-only; fp32 eager). ``loss`` picks the
+    D objective branch: "hinge" (trainer.py:222-235) or the WGAN default
+    (trainer.py:237-248, gradient penalty commented out in the
+    reference)."""
     optG = torch.optim.Adam(G.parameters(), lr=5e-5, betas=(0.0, 0.9))
     optD = torch.optim.Adam(D.parameters(), lr=1e-4, betas=(0.0, 0.9))
     real = torch.randn(batch, 1, res, res, res).clamp_(-1, 1)
@@ -181,7 +248,11 @@ def measure_step(G, D, batch, z_size, res, iters, warmup, iterD=2):
         D.zero_grad()
         noise = torch.randn(batch, z_size, 1, 1, 1)
         fake = G(noise)
-        errD = (F.relu(1.0 - D(real))).mean() + (F.relu(1.0 + D(fake))).mean()
+        if loss == "hinge":
+            errD = (F.relu(1.0 - D(real))).mean() + \
+                (F.relu(1.0 + D(fake))).mean()
+        else:  # WGAN
+            errD = D(fake).mean() - D(real).mean()
         errD.backward()
         optD.step()
         for p in D.parameters():
@@ -346,7 +417,7 @@ def main():
     ap.add_argument("--filters", type=int, default=64)
     ap.add_argument("--z", type=int, default=512)
     ap.add_argument("--family", default="biggan",
-                    choices=["biggan", "stylegan2"])
+                    choices=["biggan", "stylegan2", "dcgan"])
     ap.add_argument("--write", action="store_true")
     a = ap.parse_args()
     torch.manual_seed(0)
@@ -426,6 +497,63 @@ def main():
                 json.dump(data, f, indent=2)
             print(f"# updated {path} [stylegan2]", flush=True)
         return
+    if a.family == "dcgan":
+        # BASELINE config 1: DCGAN 64^3, WGAN loss, LayerNorm D. Few ops
+        # per eager iteration (~40 modules/net), so the launch floor is
+        # irrelevant and the plain GEMM-ratio transfer applies.
+        G = RefDCGAN_G64(a.filters, a.z)
+        D = RefDCGAN_D64(a.filters)
+        gf = count_forward_flops(G, torch.randn(a.batch, a.z, 1, 1, 1))
+        df = count_forward_flops(D, torch.randn(a.batch, 1, 64, 64, 64))
+        step_flops = 2 * (gf + 6 * df) + (3 * gf + 3 * df)
+        print(f"# G fwd {gf / 1e9:.1f} GFLOP, D fwd {df / 1e9:.1f} GFLOP, "
+              f"full iteration ~{step_flops / 1e12:.2f} TFLOP", flush=True)
+        dt = measure_step(G, D, a.batch, a.z, 64, a.iters, a.warmup,
+                          loss="wgan")
+        vps_cpu = a.batch / dt
+        eff_cpu = step_flops / dt
+        print(f"# reference dcgan step: {dt:.1f} s -> {vps_cpu:.3f} vol/s "
+              f"on host CPU ({eff_cpu / 1e9:.1f} GFLOP/s sustained, "
+              f"{100 * eff_cpu / gemm:.0f}% of host GEMM rate)", flush=True)
+        frac = eff_cpu / gemm
+        vps_a100_high = a.batch / (step_flops / (frac * A100_GEMM_FP16))
+        vps_a100_low = a.batch / (step_flops / (frac * A100_GEMM_TF32))
+        vps_a100 = float(np.sqrt(vps_a100_low * vps_a100_high))
+        print(f"# A100 estimate: {vps_a100:.1f} vol/s "
+              f"[{vps_a100_low:.1f} (TF32) .. {vps_a100_high:.1f} (fp16)]",
+              flush=True)
+        sub = {
+            "volumes_per_sec": round(vps_a100, 2),
+            "band": [round(vps_a100_low, 2), round(vps_a100_high, 2)],
+            "hardware": "A100 (derived)",
+            "method": ("measured torch reference (dcgan.py:44-70 G ladder /"
+                       " :158-182 WGAN-LayerNorm D at 64^3 = one fewer "
+                       "stage, batch %d, iterD=2, WGAN, fp32 eager) on "
+                       "host CPU; A100 derived by GEMM-ratio roofline "
+                       "transfer like the biggan headline" % a.batch),
+            "cpu_measured": {
+                "volumes_per_sec": round(vps_cpu, 4),
+                "step_seconds": round(dt, 2),
+                "sustained_gflops": round(eff_cpu / 1e9, 1),
+                "host_gemm_gflops": round(gemm / 1e9, 1),
+                "threads": n_threads,
+                "step_tflop": round(step_flops / 1e12, 2),
+            },
+        }
+        print(json.dumps(sub, indent=2))
+        if a.write:
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BASELINE_MEASURED.json")
+            data = {}
+            if os.path.isfile(path):
+                with open(path) as f:
+                    data = json.load(f)
+            data["dcgan"] = sub
+            with open(path, "w") as f:
+                json.dump(data, f, indent=2)
+            print(f"# updated {path} [dcgan]", flush=True)
+        return
+
     convs = measure_hot_convs(a.batch)
     for r in convs:
         print(f"# conv {r['conv']}: {r['ms']} ms, {r['gflops']} GFLOP/s",

@@ -49,10 +49,14 @@ def main() -> None:
     ap.add_argument("--resolution", type=int, default=64)
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--family", default="biggan",
-                    choices=["biggan", "stylegan2"])
+                    choices=["biggan", "stylegan2", "stylegan", "dcgan"])
     a = ap.parse_args()
-    fam_kw = ({"stylegan2": True} if a.family == "stylegan2"
-              else {"biggan": True, "hinge": True})
+    fam_kw = {
+        "biggan": {"biggan": True, "hinge": True},
+        "stylegan2": {"stylegan2": True},
+        "stylegan": {"stylegan": True},
+        "dcgan": {"dcgan": True},
+    }[a.family]
     cfg = Config(resolution=a.resolution,
                  filterG=64, filterD=64, z_size=512, batch_size=a.batch,
                  iterD=2, fid_in_loop=False, profile_dir=a.out,

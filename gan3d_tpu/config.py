@@ -206,8 +206,10 @@ class Config:
                                  # the 1-2-channel sg2 top-res blocks run
                                  # at 0.1-0.2 TF/s in XLA's degenerate
                                  # layout (68% of the sg2 64^3 step,
-                                 # round-3 trace). Measured GO: 264.9 vs
-                                 # 147.0 vol/s (1.80x) — "auto" = on (TPU).
+                                 # round-3 trace). Measured GO twice:
+                                 # stride-1 264.9 vs 144.5 (1.83x), then
+                                 # up/down 372.9 vs 264.9 (1.41x) —
+                                 # "auto" = on (TPU).
     xla_vmem_limit_kib: int = -1  # scoped-VMEM fusion budget passed to the
                                   # TPU compiler (xla_tpu_scoped_vmem_limit_kib)
                                   # for the train-step programs, via

@@ -294,6 +294,18 @@ def conv3d_resample(x: jax.Array, w: jax.Array, f: Optional[jnp.ndarray] = None,
     if down > 1 and up == 1:
         x = upfirdn3d(x, f, padding=[px0, px1, py0, py1, pz0, pz1],
                       flip_filter=flip_filter, f1d=f1d)
+        # fast_c1: the sg2 D's tiny-channel strided convs (and, via
+        # autodiff of the band einsums, their lhs-dilated dx) lower to
+        # banded matmuls (ops/c1_conv.py; round-3 session-3 trace).
+        from gan3d_tpu.ops.c1_conv import (fast_c1_enabled, small_conv3d_ud,
+                                           small_conv3d_ud_applicable)
+
+        if fast_c1_enabled() and small_conv3d_ud_applicable(
+                x.shape, w.shape, groups, 1, down):
+            wk = w if flip_weight else jnp.flip(w, axis=(0, 1, 2))
+            return small_conv3d_ud(x, wk.astype(x.dtype),
+                                   ((0, 0), (0, 0), (0, 0)),
+                                   (1, 1, 1), (down, down, down))
         return _conv(x, w, stride=down, groups=groups, flip_weight=flip_weight)
 
     # Upsample: fractionally-strided conv then FIR (reference
@@ -314,14 +326,26 @@ def conv3d_resample(x: jax.Array, w: jax.Array, f: Optional[jnp.ndarray] = None,
         # Correlation when flip_weight (torch conv semantics), convolution
         # otherwise; conv_transpose's internal flip folds into this choice.
         wk = w if flip_weight else jnp.flip(w, axis=(0, 1, 2))
-        x = lax.conv_general_dilated(
-            x, wk.astype(x.dtype), window_strides=(1, 1, 1),
-            padding=[(kd - 1 - pzt, kd - 1 - pzt),
-                     (kh - 1 - pyt, kh - 1 - pyt),
-                     (kw - 1 - pxt, kw - 1 - pxt)],
-            lhs_dilation=(up, up, up),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=x.dtype)
+        # fast_c1: the sg2 G's tiny-channel up=2 convs ran at 0.5 TF/s /
+        # 8 GB/s as XLA lhs-dilated convs — 28.8% of the post-fast_c1
+        # step (round-3 session-3 trace); banded matmuls instead.
+        from gan3d_tpu.ops.c1_conv import (fast_c1_enabled, small_conv3d_ud,
+                                           small_conv3d_ud_applicable)
+
+        pud = ((kd - 1 - pzt, kd - 1 - pzt), (kh - 1 - pyt, kh - 1 - pyt),
+               (kw - 1 - pxt, kw - 1 - pxt))
+        if (fast_c1_enabled() and min(min(p) for p in pud) >= 0
+                and small_conv3d_ud_applicable(x.shape, w.shape, groups,
+                                               up, 1)):
+            x = small_conv3d_ud(x, wk.astype(x.dtype), pud,
+                                (up, up, up), (1, 1, 1))
+        else:
+            x = lax.conv_general_dilated(
+                x, wk.astype(x.dtype), window_strides=(1, 1, 1),
+                padding=list(pud),
+                lhs_dilation=(up, up, up),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=x.dtype)
         x = upfirdn3d(x, f, padding=[px0 + pxt, px1 + pxt, py0 + pyt,
                                      py1 + pyt, pz0 + pzt, pz1 + pzt],
                       gain=up ** 2, flip_filter=flip_filter, f1d=f1d)

@@ -52,9 +52,10 @@ def set_fast_c1_mode(mode: str) -> None:
 
 def fast_c1_enabled() -> bool:
     if _MODE == "auto":
-        # Measured GO (docs/PERF.md round 3 session 2): StyleGAN2 64^3
-        # batch 16 on v5e = 264.9 vol/s vs 147.0 control (1.80x step-level
-        # bench.py A/B). CPU (tests) keeps XLA's native conv.
+        # Measured GO twice (docs/PERF.md round 3 sessions 2-3): the
+        # stride-1 form 264.9 vs 144.5 vol/s (1.83x), the up/down form
+        # 372.9 vs 264.9 (1.41x) — StyleGAN2 64^3 batch 16 step-level
+        # bench.py A/Bs on v5e. CPU (tests) keeps XLA's native conv.
         return jax.default_backend() == "tpu"
     return _MODE == "on"
 
@@ -83,6 +84,83 @@ def _shift_bands(w_in: int, k: int, p0: int, p1: int) -> np.ndarray:
             if 0 <= u < w_in:
                 s[t, u, v] = 1.0
     return s
+
+
+def small_conv3d_ud_applicable(x_shape: Tuple[int, ...],
+                               w_shape: Tuple[int, ...], groups: int,
+                               up: int, down: int) -> bool:
+    """Shape gate for the resampled variant: the sg2 G up=2 convs
+    (32^3 x 2ch -> 64^3 x 1ch) and D down=2 convs (64^3 x 1ch -> 32^3 x
+    2ch) run at 0.5 TF/s / 8 GB/s as XLA lhs-dilated / strided convs
+    (round-3 session-3 trace: 28.8% of the post-fast_c1 sg2 step)."""
+    kd, kh, kw, ci, co = w_shape
+    return (groups == 1 and kd == kh == kw == 3
+            and ci * co <= 4 and x_shape[-2] >= 32
+            and (up, down) in ((2, 1), (1, 2)))
+
+
+@lru_cache(maxsize=None)
+def _shift_bands_ud(w_in: int, k: int, p0: int, p1: int, up: int,
+                    down: int) -> np.ndarray:
+    """S[t, u, v] with y[v] += x[u] * w[t] where v*down + t - p0 = u*up:
+    the k static shift matrices of a correlation with lhs_dilation ``up``
+    and stride ``down`` (lax semantics: dilated length (w_in-1)*up + 1,
+    then (p0, p1) padding, then stride-``down`` correlation)."""
+    length = (w_in - 1) * up + 1 + p0 + p1
+    w_out = (length - k) // down + 1
+    s = np.zeros((k, w_in, max(w_out, 0)), np.float32)
+    for t in range(k):
+        for v in range(w_out):
+            m = v * down + t - p0
+            if m >= 0 and m % up == 0 and m // up < w_in:
+                s[t, m // up, v] = 1.0
+    return s
+
+
+def small_conv3d_ud(x: jax.Array, w: jax.Array,
+                    pads: Tuple[Tuple[int, int], ...],
+                    up: Tuple[int, int, int],
+                    down: Tuple[int, int, int]) -> jax.Array:
+    """Resampled 3-D correlation on [N, D, H, W, Ci] with kernel
+    [kd, kh, kw, Ci, Co], lhs_dilation ``up``, stride ``down`` — as three
+    banded-matmul einsums (kernel taps pre-flipped by the caller, as in
+    :func:`small_conv3d`).
+
+    Unlike the stride-1 form, the D/H axes cannot be shifted *views* of
+    the input (the output extent differs), so each axis gets its own
+    static 0/1 shift matrix applied as a GEMM: first expand D per kd tap,
+    then H per kh tap, then contract the W axis against the tap-weighted
+    band. All three einsums keep a spatial length >= 32 in lanes on both
+    operands, and the assembly is differentiable in ``w`` so autodiff
+    yields dx/dW as transposed GEMMs of the same shape — in particular
+    the dx of an up=2 conv is a down=2 band einsum and vice versa, which
+    kills the degenerate-layout backward convs for free.
+
+    Matches lax.conv_general_dilated(x, w, down, pads, lhs_dilation=up,
+    NDHWC/DHWIO).
+    """
+    n, d, h, wi, ci = x.shape
+    kd, kh, kw, wci, co = w.shape
+    assert wci == ci, (w.shape, x.shape)
+    (pz0, pz1), (py0, py1), (px0, px1) = pads
+    (uz, uy, ux), (dz, dy, dx) = up, down
+
+    sd = jnp.asarray(_shift_bands_ud(d, kd, pz0, pz1, uz, dz))    # [kd,D,Do]
+    sh = jnp.asarray(_shift_bands_ud(h, kh, py0, py1, uy, dy))    # [kh,H,Ho]
+    sw = jnp.asarray(_shift_bands_ud(wi, kw, px0, px1, ux, dx))   # [kw,W,Wo]
+
+    # B[kd, kh, i, o, u, v] — differentiable in w (sw is constant)
+    b = jnp.einsum("zyxio,xuv->zyiouv", w.astype(jnp.float32),
+                   sw).astype(x.dtype)
+
+    f32 = jnp.float32
+    xd = jnp.einsum("nzhui,tzD->tnDhui", x, sd.astype(x.dtype),
+                    preferred_element_type=f32).astype(x.dtype)
+    xs = jnp.einsum("tnDyui,syH->tsnDHui", xd, sh.astype(x.dtype),
+                    preferred_element_type=f32).astype(x.dtype)
+    y = jnp.einsum("tsnDHui,tsiouv->nDHvo", xs, b,
+                   preferred_element_type=f32)
+    return y.astype(x.dtype)
 
 
 def small_conv3d(x: jax.Array, w: jax.Array,

@@ -139,6 +139,131 @@ def test_through_stylegan2_models():
                                    rtol=5e-4, atol=5e-4)
 
 
+def _xla_conv_ud(x, w, pads, up, down):
+    return jax.lax.conv_general_dilated(
+        x, w, down, list(pads), lhs_dilation=up,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+
+
+@pytest.mark.parametrize("ci,co,up,down,pads,shape", [
+    (2, 1, 2, 1, ((2, 2), (2, 2), (2, 2)), (2, 5, 6, 32, 2)),  # G b64 up
+    (1, 2, 1, 2, ((0, 0), (0, 0), (0, 0)), (2, 7, 9, 33, 1)),  # D b64 down
+    (1, 1, 2, 1, ((1, 2), (2, 1), (2, 2)), (2, 4, 5, 32, 1)),
+    (2, 2, 1, 2, ((0, 0), (0, 0), (0, 0)), (2, 8, 8, 32, 2)),
+], ids=["g-up", "d-down", "up-asym", "down-c2"])
+def test_small_conv3d_ud_matches_xla(ci, co, up, down, pads, shape):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32))
+    u3, d3 = (up,) * 3, (down,) * 3
+    ref = _xla_conv_ud(x, w, pads, u3, d3)
+    got = C.small_conv3d_ud(x, w, pads, u3, d3)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("up,down", [(2, 1), (1, 2)], ids=["up", "down"])
+def test_small_conv3d_ud_grads_match(up, down):
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 32, 2)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 1)).astype(np.float32))
+    pads = ((2, 2), (2, 2), (2, 2)) if up == 2 else ((0, 0), (0, 0), (0, 0))
+    u3, d3 = (up,) * 3, (down,) * 3
+
+    def loss(fn):
+        return lambda xx, ww: jnp.sum(fn(xx, ww) ** 2)
+
+    gx_ref, gw_ref = jax.grad(
+        loss(lambda a, b: _xla_conv_ud(a, b, pads, u3, d3)),
+        argnums=(0, 1))(x, w)
+    gx, gw = jax.grad(
+        loss(lambda a, b: C.small_conv3d_ud(a, b, pads, u3, d3)),
+        argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_ud_gate():
+    a = C.small_conv3d_ud_applicable
+    assert a((2, 32, 32, 32, 2), (3, 3, 3, 2, 1), 1, 2, 1)
+    assert a((2, 65, 65, 65, 1), (3, 3, 3, 1, 2), 1, 1, 2)
+    assert not a((2, 32, 32, 32, 4), (3, 3, 3, 4, 2), 1, 2, 1)  # wide
+    assert not a((2, 16, 16, 16, 2), (3, 3, 3, 2, 1), 1, 2, 1)  # small W
+    assert not a((2, 32, 32, 32, 2), (3, 3, 3, 2, 1), 2, 2, 1)  # groups
+    assert not a((2, 32, 32, 32, 2), (3, 3, 3, 2, 1), 1, 4, 1)  # up=4
+    assert not a((2, 32, 32, 32, 2), (1, 1, 1, 2, 1), 1, 2, 1)  # k=1
+
+
+@pytest.mark.parametrize("flip", [True, False])
+@pytest.mark.parametrize("mode", ["up", "down"])
+def test_conv3d_resample_ud_path(mode, flip):
+    """conv3d_resample's up=2 / down=2 cases (the sg2 G/D resampled conv
+    layers) with fast_c1 on == off, incl. flip_weight and the FIR."""
+    rng = np.random.default_rng(5)
+    f = R.setup_filter()
+    if mode == "up":
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 32, 2))
+                        .astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 1)).astype(np.float32))
+        kw = dict(up=2, padding=1)
+    else:
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 64, 1))
+                        .astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, 1, 2)).astype(np.float32))
+        kw = dict(down=2, padding=1)
+    C.set_fast_c1_mode("off")
+    ref = R.conv3d_resample(x, w, f=f, flip_weight=flip,
+                            f1d=(1, 3, 3, 1), **kw)
+    C.set_fast_c1_mode("on")
+    got = R.conv3d_resample(x, w, f=f, flip_weight=flip,
+                            f1d=(1, 3, 3, 1), **kw)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ud_fires_in_sg2_model(monkeypatch):
+    """The up/down lowering must execute inside the traced 64^3 sg2 G and
+    D (the fast_fir lesson — assert the path fires, don't trust an A/B)."""
+    from gan3d_tpu.config import Config
+    from gan3d_tpu.models.registry import build_models
+
+    calls = []
+    orig = C.small_conv3d_ud
+
+    def spy(x, w, pads, up, down):
+        calls.append((tuple(x.shape), up, down))
+        return orig(x, w, pads, up, down)
+
+    monkeypatch.setattr(C, "small_conv3d_ud", spy)
+    cfg = Config(stylegan2=True, resolution=64, batch_size=1, filterG=64,
+                 filterD=64, z_size=16, compute_dtype="float32")
+    G, D = build_models(cfg)
+    k = jax.random.PRNGKey(0)
+    C.set_fast_c1_mode("on")
+
+    def fwd(z):
+        o = G.apply(gp, z, mutable=True,
+                    rngs={"noise": jax.random.PRNGKey(1),
+                          "mixing": jax.random.PRNGKey(2)})[0]
+        img = o[0] if isinstance(o, tuple) else o
+        return D.apply(dp, img, mutable=True)[0]
+
+    z = jnp.zeros((1, 16))
+    gp = G.init({"params": k, "noise": jax.random.PRNGKey(1),
+                 "mixing": jax.random.PRNGKey(2)}, z)
+    dp = D.init(k, jnp.zeros((1, 64, 64, 64, 1)))
+    jax.eval_shape(fwd, z)
+    ups = [c for c in calls if c[1] == (2, 2, 2)]
+    downs = [c for c in calls if c[2] == (2, 2, 2)]
+    assert ups, "up=2 banded lowering never fired in the sg2 G"
+    assert downs, "down=2 banded lowering never fired in the sg2 D"
+
+
 def test_fires_in_sg2_step(monkeypatch):
     """The lowering must actually execute inside the jitted sg2 program
     (the fast_fir lesson: a gated path that never fires measures exactly

@@ -210,6 +210,14 @@ class Config:
                                  # stride-1 264.9 vs 144.5 (1.83x), then
                                  # up/down 372.9 vs 264.9 (1.41x) —
                                  # "auto" = on (TPU).
+    fast_pix: str = "auto"       # sub-pixel (s2d/d2s) rewrite of the DCGAN
+                                 # family's k=4 s=2 single-channel boundary
+                                 # convs (ops/subpixel_conv.py): G's final
+                                 # tconv and D's stem conv run at 1.5-3.9
+                                 # TF/s in XLA's degenerate C=1 layout
+                                 # (~30% of the dcgan 64^3 step, round-3
+                                 # trace). Measured GO: 408.6 vs 324.4
+                                 # vol/s (1.26x) — "auto" = on (TPU).
     xla_vmem_limit_kib: int = -1  # scoped-VMEM fusion budget passed to the
                                   # TPU compiler (xla_tpu_scoped_vmem_limit_kib)
                                   # for the train-step programs, via

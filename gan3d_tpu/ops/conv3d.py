@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gan3d_tpu.ops import dw_conv, lane_conv, s2d_conv, tap_conv, wide_conv
+from gan3d_tpu.ops import (dw_conv, lane_conv, s2d_conv, subpixel_conv,
+                           tap_conv, wide_conv)
 
 IntOr3 = Union[int, Sequence[int]]
 
@@ -70,6 +71,10 @@ def conv3d(
     if (tap_conv.fast_head_enabled()
             and tap_conv.eligible(x.shape, w.shape, s, p, d, groups)):
         return tap_conv.head_conv3d_tap(x, w)
+    if (subpixel_conv.fast_pix_enabled()
+            and subpixel_conv.conv_eligible(x.shape, w.shape, s, p, d,
+                                            groups)):
+        return subpixel_conv.conv_s2d_k4(x, w)
     return lax.conv_general_dilated(
         x,
         w,
@@ -100,6 +105,9 @@ def conv_transpose3d(
     x: [N, D, H, W, Cin]; w: [kd, kh, kw, Cin, Cout].
     """
     s, p, op = _triple(stride), _triple(padding), _triple(output_padding)
+    if (subpixel_conv.fast_pix_enabled()
+            and subpixel_conv.tconv_eligible(x.shape, w.shape, s, p, op)):
+        return subpixel_conv.tconv_d2s(x, w)
     k = w.shape[:3]
     wf = jnp.flip(w, axis=(0, 1, 2))
     pads = [

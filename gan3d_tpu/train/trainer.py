@@ -105,6 +105,8 @@ class Trainer:
         set_fast_fir_mode(cfg.fast_fir)
         from gan3d_tpu.ops.c1_conv import set_fast_c1_mode
         set_fast_c1_mode(cfg.fast_c1)
+        from gan3d_tpu.ops.subpixel_conv import set_fast_pix_mode
+        set_fast_pix_mode(cfg.fast_pix)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from gan3d_tpu.config import Config
+from gan3d_tpu.nn.layers import Conv3d
 from gan3d_tpu.ops.conv3d import upsample_trilinear3d
 
 Dtype = Any
@@ -116,10 +117,14 @@ class StyleGAN1Generator(nn.Module):
         conv_i = 0
 
         def conv(x: jax.Array, ch: int) -> jax.Array:
+            # our Conv3d (same "kernel" param name/shape as flax nn.Conv,
+            # lecun init preserved) so the conv routes through the
+            # ops/conv3d dispatcher and its measured fast paths.
             nonlocal conv_i
             conv_i += 1
-            y = nn.Conv(ch, (3, 3, 3), padding=1, use_bias=False,
-                        name=f"C{conv_i}", dtype=dtype)(x)
+            y = Conv3d(ch, kernel_size=3, padding=1, use_bias=False,
+                       kernel_init=nn.initializers.lecun_normal(),
+                       name=f"C{conv_i}", dtype=dtype)(x)
             return nn.leaky_relu(y, 0.2)
 
         # const 4^3 x z ones input (reference stylegan.py:1069); stage
@@ -144,6 +149,7 @@ class StyleGAN1Generator(nn.Module):
         h = conv(h, chans[-1])                       # C10
         w = maybe_mix(w)
         h = ada_in(h, affine(chans[-1]))             # A11
-        out = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, name="C_out",
-                      dtype=dtype)(h)
+        out = Conv3d(1, kernel_size=3, padding=1, use_bias=False,
+                     kernel_init=nn.initializers.lecun_normal(),
+                     name="C_out", dtype=dtype)(h)
         return jnp.tanh(out)

@@ -45,19 +45,23 @@ from gan3d_tpu.utils.png import save_volume_grid
 
 
 def resolve_boundary_autos(cfg: Config) -> tuple:
-    """Resolve the fast_stem / fast_head "auto" modes by resolution.
+    """Resolve the fast_stem / fast_head "auto" modes by resolution/family.
 
-    Measured (docs/PERF.md session 8): the two-sided C=1 boundary rewrite
-    (s2d D stem + tap-map G head) LOSES at 64^3 (-6%/-15%) but WINS at
-    128^3 (1.01 vs 0.962 vol/s) — and the 128^3 plain-conv program stopped
-    fitting the remote compile helper, so the rewrite is also what keeps
-    128^3 compilable. Same resolution rule as downconv_vjp.
+    Measured (docs/PERF.md session 8): for biggan the two-sided C=1
+    boundary rewrite (s2d D stem + tap-map G head) LOSES at 64^3
+    (-6%/-15%) but WINS at 128^3 (1.01 vs 0.962 vol/s) — and the 128^3
+    plain-conv program stopped fitting the remote compile helper, so the
+    rewrite is also what keeps 128^3 compilable. Same resolution rule as
+    downconv_vjp. For the StyleGAN-1 family the tap-map head WINS at
+    64^3 too (59.3 vs 54.8 vol/s, round 3 session 4) — its C_out conv and
+    transposes were 13% of the step at 1.1 TF/s.
     """
     fs, fh = cfg.fast_stem, cfg.fast_head
     if fs == "auto":
         fs = "on" if cfg.resolution >= 128 else "off"
     if fh == "auto":
-        fh = "on" if cfg.resolution >= 128 else "off"
+        fh = ("on" if cfg.resolution >= 128 or cfg.family() == "stylegan"
+              else "off")
     return fs, fh
 
 

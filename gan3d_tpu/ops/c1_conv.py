@@ -60,6 +60,15 @@ def fast_c1_enabled() -> bool:
     return _MODE == "on"
 
 
+# Gate floors for the band GEMM to pay off: minimum lane (W-axis) extent
+# and maximum channel product. Module-level so the multichip dryrun can
+# relax them to exercise the sharded lowering at CPU-mesh-sized shapes
+# (16^3, where the sg2 channel table is wider) — validation knobs, not
+# perf ones.
+MIN_W = 32
+MAX_CICO = 4
+
+
 def small_conv3d_applicable(x_shape: Tuple[int, ...],
                             w_shape: Tuple[int, ...],
                             groups: int) -> bool:
@@ -68,7 +77,7 @@ def small_conv3d_applicable(x_shape: Tuple[int, ...],
     acceptably in XLA's native layout, and small W wastes the band GEMM."""
     kd, kh, kw, ci, co = w_shape
     return (groups == 1 and kd == kh == kw == 3
-            and ci * co <= 4 and x_shape[-2] >= 32)
+            and ci * co <= MAX_CICO and x_shape[-2] >= MIN_W)
 
 
 @lru_cache(maxsize=None)
@@ -95,7 +104,7 @@ def small_conv3d_ud_applicable(x_shape: Tuple[int, ...],
     (round-3 session-3 trace: 28.8% of the post-fast_c1 sg2 step)."""
     kd, kh, kw, ci, co = w_shape
     return (groups == 1 and kd == kh == kw == 3
-            and ci * co <= 4 and x_shape[-2] >= 32
+            and ci * co <= MAX_CICO and x_shape[-2] >= MIN_W
             and (up, down) in ((2, 1), (1, 2)))
 
 

@@ -92,7 +92,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
             wide_conv: str = "auto", downconv_vjp: str = "auto",
             fast_stem: str = "auto", fast_head: str = "auto",
             fast_fir: str = "auto", fast_c1: str = "auto",
-            fast_pix: str = "auto") -> float:
+            fast_pix: str = "auto", fast_tri: str = "auto") -> float:
     import tempfile
 
     import jax
@@ -115,7 +115,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
                  fast_conv=fast_conv, fast_dw=fast_dw, wide_conv=wide_conv,
                  downconv_vjp=downconv_vjp, fast_stem=fast_stem,
                  fast_head=fast_head, fast_fir=fast_fir, fast_c1=fast_c1,
-                 fast_pix=fast_pix,
+                 fast_pix=fast_pix, fast_tri=fast_tri,
                  fid_in_loop=False,
                  xla_vmem_limit_kib=xla_vmem,
                  log_dir=tempfile.mkdtemp(prefix="bench_"),
@@ -200,6 +200,10 @@ def main() -> None:
                    choices=["auto", "on", "off"],
                    help="banded-matmul tiny-channel k=3 convs "
                         "(ops/c1_conv.py)")
+    p.add_argument("--fast_tri", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="trilinear upsample as banded spatial matmuls "
+                        "(ops/conv3d.py, StyleGAN-1 G)")
     p.add_argument("--fast_pix", default="auto",
                    choices=["auto", "on", "off"],
                    help="sub-pixel k=4 s=2 boundary convs "
@@ -238,7 +242,7 @@ def main() -> None:
                           a.channel_ratio, a.family, fused, a.fast_conv,
                           a.remat_scope, a.xla_vmem, a.fast_dw, a.wide_conv,
                           a.downconv_vjp, a.fast_stem, a.fast_head,
-                          a.fast_fir, a.fast_c1, a.fast_pix)
+                          a.fast_fir, a.fast_c1, a.fast_pix, a.fast_tri)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback

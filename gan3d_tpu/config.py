@@ -210,6 +210,14 @@ class Config:
                                  # stride-1 264.9 vs 144.5 (1.83x), then
                                  # up/down 372.9 vs 264.9 (1.41x) —
                                  # "auto" = on (TPU).
+    fast_tri: str = "auto"       # trilinear 2x upsample (StyleGAN-1 G) as
+                                 # three banded spatial-axis matmul einsums
+                                 # (ops/conv3d.py) instead of
+                                 # jax.image.resize, whose dot_general
+                                 # lowering forces ~17 ms/step of layout
+                                 # copies (round-3 session-5 trace).
+                                 # "auto" resolves per the measured A/B
+                                 # (fast_tri_enabled()).
     fast_pix: str = "auto"       # sub-pixel (s2d/d2s) rewrite of the DCGAN
                                  # family's k=4 s=2 single-channel boundary
                                  # convs (ops/subpixel_conv.py): G's final

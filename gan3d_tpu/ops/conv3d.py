@@ -14,6 +14,8 @@ Weight layout conventions:
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Sequence, Tuple, Union
 
 import jax
@@ -180,11 +182,61 @@ def upsample_nearest3d(x: jax.Array, scale: int = 2) -> jax.Array:
     return x.reshape(n, d * scale, h * scale, w * scale, c)
 
 
+_TRI_MODE = os.environ.get("GAN3D_FAST_TRI", "auto")
+
+
+def set_fast_tri_mode(mode: str) -> None:
+    global _TRI_MODE
+    assert mode in ("off", "auto", "on"), mode
+    _TRI_MODE = mode
+
+
+def fast_tri_enabled() -> bool:
+    if _TRI_MODE == "auto":
+        return False  # pending a step-level bench.py A/B (project rule:
+        # isolated/composed wins don't predict step outcomes — PERF.md)
+    return _TRI_MODE == "on"
+
+
+@functools.lru_cache(maxsize=None)
+def _tri1d_matrix(length: int, scale: int) -> "np.ndarray":
+    """Dense [length*scale, length] half-pixel linear-interp matrix,
+    torch align_corners=False semantics (edge taps clamp-accumulate)."""
+    import numpy as np
+    out = length * scale
+    b = np.zeros((out, length), np.float64)
+    for o in range(out):
+        coord = (o + 0.5) / scale - 0.5
+        i0 = int(np.floor(coord))
+        frac = coord - i0
+        b[o, min(max(i0, 0), length - 1)] += 1.0 - frac
+        b[o, min(max(i0 + 1, 0), length - 1)] += frac
+    return b
+
+
 def upsample_trilinear3d(x: jax.Array, scale: int = 2) -> jax.Array:
     """Trilinear upsample, torch F.interpolate(mode='trilinear',
     align_corners=False) semantics (half-pixel centers), used by the
-    StyleGAN-1 generator (reference: stylegan.py:1081 etc.)."""
+    StyleGAN-1 generator (reference: stylegan.py:1081 etc.).
+
+    Fast path: the separable interp as three banded spatial-axis matmuls
+    (same machinery as fast_fir, resample.py:_upfirdn3d_matmul) — exact
+    same taps as jax.image.resize's per-axis contraction, but in einsum
+    form whose TPU lowering avoids resize's layout copies."""
     n, d, h, w, c = x.shape
+    if fast_tri_enabled():
+        dt = x.dtype
+        f32 = jnp.float32
+        bd = jnp.asarray(_tri1d_matrix(d, scale), dt)
+        bh = jnp.asarray(_tri1d_matrix(h, scale), dt)
+        bw = jnp.asarray(_tri1d_matrix(w, scale), dt)
+        y = jnp.einsum("od,ndhwc->nohwc", bd, x,
+                       preferred_element_type=f32).astype(dt)
+        y = jnp.einsum("oh,ndhwc->ndowc", bh, y,
+                       preferred_element_type=f32).astype(dt)
+        y = jnp.einsum("ow,ndhwc->ndhoc", bw, y,
+                       preferred_element_type=f32).astype(dt)
+        return y
     return jax.image.resize(
         x, (n, d * scale, h * scale, w * scale, c), method="trilinear"
     )

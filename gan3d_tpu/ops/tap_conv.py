@@ -74,9 +74,27 @@ def eligible(x_shape, w_shape, stride, padding, dilation, groups) -> bool:
     return min(x_shape[1:4]) >= 4
 
 
+@jax.custom_vjp
 def head_conv3d_tap(x: jax.Array, w: jax.Array) -> jax.Array:
     """SAME k=3 conv Ci -> 1 via channel-GEMM + 27-tap shift-add (exact
-    algebra; one intermediate rounding of the tap maps in bf16)."""
+    algebra; one intermediate rounding of the tap maps in bf16).
+
+    Custom VJP: autodiff's transpose of the tap construction materializes
+    a [N, D+2, H+2, W+2, 27] pad-add AND lowers the transposed GEMM
+    operands as 27/32-row dynamic-update-slice while-loops (53 GB/s layout
+    transposes — ~47 ms/step of the StyleGAN-1 64^3 step, round-3
+    session-5 trace).  The hand VJP reuses the forward's trick: du is 27
+    cheap slices of the padded cotangent (du[p, t] = g[p - t + 1], the
+    mirrored tap map), then dx and dW are two layout-friendly GEMMs
+    sharing that one tap map:
+
+        dx[m, c] = sum_t du[m, t] * w[t, c]     [M, 27] @ [27, Ci]
+        dW[t, c] = sum_m du[m, t] * x[m, c]     [27, M] @ [M, Ci]
+    """
+    return _tap_fwd_impl(x, w)
+
+
+def _tap_fwd_impl(x: jax.Array, w: jax.Array) -> jax.Array:
     n, d, h, wd, ci = x.shape
     wt = jnp.transpose(w.reshape(27, ci, 1)[..., 0])      # [Ci, 27]
     u = jax.lax.dot_general(
@@ -95,3 +113,50 @@ def head_conv3d_tap(x: jax.Array, w: jax.Array) -> jax.Array:
                 acc = s if acc is None else acc + s
                 t += 1
     return acc.astype(x.dtype)
+
+
+def _mirrored_tap_map(g: jax.Array, taps_first: bool = False) -> jax.Array:
+    """du[p, t] = g[p - t + 1] for tap offsets t in {0,1,2}^3: pad the
+    [N, D, H, W] cotangent by 1 and take the 27 mirrored slices, stacked
+    along a new minor axis -> [N, D, H, W, 27] (or along axis 0 ->
+    [27, N, D, H, W] when ``taps_first``, the pre-transposed form the dW
+    GEMM wants)."""
+    n, d, h, wd = g.shape
+    gp = jnp.pad(g, [(0, 0), (1, 1), (1, 1), (1, 1)])
+    slabs = []
+    for td in range(3):
+        for th in range(3):
+            for tw in range(3):
+                slabs.append(lax.slice(
+                    gp, (0, 2 - td, 2 - th, 2 - tw),
+                    (n, 2 - td + d, 2 - th + h, 2 - tw + wd)))
+    return jnp.stack(slabs, axis=0 if taps_first else -1)
+
+
+def _tap_vjp_fwd(x, w):
+    return _tap_fwd_impl(x, w), (x, w)
+
+
+def _tap_vjp_bwd(res, g):
+    x, w = res
+    n, d, h, wd, ci = x.shape
+    gt = g[..., 0].astype(x.dtype)
+    du = _mirrored_tap_map(gt)                            # [N,D,H,W,27]
+    duf = du.reshape(-1, 27)
+    w27 = w.reshape(27, ci).astype(x.dtype)               # [27, Ci]
+    dx = lax.dot_general(duf, w27, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    dx = dx.reshape(x.shape).astype(x.dtype)
+    # dW as a canonical NN GEMM [27, M] @ [M, Ci]: contracting dim 0 of
+    # BOTH operands (the TN form) makes XLA transpose x [M, Ci] -> [Ci, M]
+    # through a 53 GB/s dynamic-update-slice while-loop (~21.5 ms at the
+    # sg1 64^3 step); a second cheap stack of the same 27 slices along
+    # axis 0 gives du pre-transposed and the dot lowers transpose-free.
+    du27 = _mirrored_tap_map(gt, taps_first=True).reshape(27, -1)
+    dw = lax.dot_general(du27, x.reshape(-1, ci),
+                         (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)  # [27, Ci]
+    return dx, dw.reshape(3, 3, 3, ci, 1).astype(w.dtype)
+
+
+head_conv3d_tap.defvjp(_tap_vjp_fwd, _tap_vjp_bwd)

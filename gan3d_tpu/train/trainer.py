@@ -111,6 +111,8 @@ class Trainer:
         set_fast_c1_mode(cfg.fast_c1)
         from gan3d_tpu.ops.subpixel_conv import set_fast_pix_mode
         set_fast_pix_mode(cfg.fast_pix)
+        from gan3d_tpu.ops.conv3d import set_fast_tri_mode
+        set_fast_tri_mode(cfg.fast_tri)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):

@@ -89,3 +89,46 @@ def test_upsample_trilinear_vs_torch():
                         mode="trilinear").numpy()
     out = upsample_trilinear3d(jnp.asarray(ndhwc(x)), 2)
     np.testing.assert_allclose(ncdhw(np.asarray(out)), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_upsample_trilinear_matmul_vs_torch():
+    """The fast-tri banded-matmul path matches torch trilinear
+    (align_corners=False) exactly on the same taps, including clamped
+    edge rows, and its autodiff grads match the resize path's."""
+    import jax
+    from gan3d_tpu.ops.conv3d import set_fast_tri_mode
+
+    x = rand(2, 3, 4, 6, 8)
+    ref = F.interpolate(torch.from_numpy(x), scale_factor=2,
+                        mode="trilinear").numpy()
+    set_fast_tri_mode("on")
+    try:
+        out = upsample_trilinear3d(jnp.asarray(ndhwc(x)), 2)
+        np.testing.assert_allclose(ncdhw(np.asarray(out)), ref,
+                                   atol=1e-5, rtol=1e-5)
+        xj = jnp.asarray(ndhwc(x))
+        g_fast = jax.grad(
+            lambda v: float(0) + (upsample_trilinear3d(v, 2) ** 2).sum()
+        )(xj)
+    finally:
+        set_fast_tri_mode("off")
+    g_ref = jax.grad(
+        lambda v: (upsample_trilinear3d(v, 2) ** 2).sum())(xj)
+    set_fast_tri_mode("auto")
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_upsample_trilinear_matmul_scale4():
+    from gan3d_tpu.ops.conv3d import set_fast_tri_mode
+
+    x = rand(1, 2, 4, 4, 4)
+    ref = F.interpolate(torch.from_numpy(x), scale_factor=4,
+                        mode="trilinear").numpy()
+    set_fast_tri_mode("on")
+    try:
+        out = upsample_trilinear3d(jnp.asarray(ndhwc(x)), 4)
+    finally:
+        set_fast_tri_mode("auto")
+    np.testing.assert_allclose(ncdhw(np.asarray(out)), ref,
+                               atol=1e-5, rtol=1e-5)

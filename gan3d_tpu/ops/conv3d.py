@@ -193,8 +193,11 @@ def set_fast_tri_mode(mode: str) -> None:
 
 def fast_tri_enabled() -> bool:
     if _TRI_MODE == "auto":
-        return False  # pending a step-level bench.py A/B (project rule:
-        # isolated/composed wins don't predict step outcomes — PERF.md)
+        # Measured step-level GO, replicated twice on each side (round-3
+        # session-5): StyleGAN-1 64^3 batch 16 on v5e = 62.07/62.07 vol/s
+        # vs 61.43/61.45 control (+1.0%; resize's dot_general lowering
+        # pays ~3 layout copies/step the band einsums avoid).
+        return True
     return _TRI_MODE == "on"
 
 

@@ -204,6 +204,10 @@ def main() -> None:
                    choices=["auto", "on", "off"],
                    help="trilinear upsample as banded spatial matmuls "
                         "(ops/conv3d.py, StyleGAN-1 G)")
+    p.add_argument("--fast_pix_wide", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="extend the sub-pixel rewrite to the interior "
+                        "k=4 s=2 convs (any Ci/Co)")
     p.add_argument("--fast_pix", default="auto",
                    choices=["auto", "on", "off"],
                    help="sub-pixel k=4 s=2 boundary convs "
@@ -215,6 +219,8 @@ def main() -> None:
                    help="bottleneck shrink (4 = reference; smaller = wider "
                         "hidden convs, better MXU utilization)")
     a = p.parse_args()
+    from gan3d_tpu.ops.subpixel_conv import set_fast_pix_wide_mode
+    set_fast_pix_wide_mode(a.fast_pix_wide)
     _init_backend_or_die()
     _enable_compile_cache()
     fused = str(a.fused_step).lower() in ("1", "true", "yes")

@@ -46,12 +46,19 @@ from jax import lax
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 
 _MODE = os.environ.get("GAN3D_FAST_PIX", "auto")
+_WIDE_MODE = os.environ.get("GAN3D_FAST_PIX_WIDE", "auto")
 
 
 def set_fast_pix_mode(mode: str) -> None:
     global _MODE
     assert mode in ("off", "auto", "on"), mode
     _MODE = mode
+
+
+def set_fast_pix_wide_mode(mode: str) -> None:
+    global _WIDE_MODE
+    assert mode in ("off", "auto", "on"), mode
+    _WIDE_MODE = mode
 
 
 def fast_pix_enabled() -> bool:
@@ -63,24 +70,45 @@ def fast_pix_enabled() -> bool:
     return _MODE == "on"
 
 
+def fast_pix_wide_enabled() -> bool:
+    """Extend the sub-pixel rewrite to the INTERIOR k=4 s=2 convs of the
+    ladder (any Ci / Co), not just the C=1 boundaries: the s2d block form
+    contracts 8*Ci (full MXU lanes at Ci >= 16) where the strided conv
+    runs half-empty at C=64 (71.9 TF/s, round-3 session-5 dcgan trace).
+
+    Measured step-level NO-GO (round-3 session-5): DCGAN 64^3 batch 16 on
+    v5e = 246.2 vol/s vs 408.6 control (0.60x) — the s2d/d2s reshape
+    traffic on wide activations and the lost strided-conv fusions swamp
+    the lane-occupancy win. Kept opt-in as a recorded negative result
+    (the 5th confirmation that isolated-op reasoning does not predict
+    step outcomes; see docs/PERF.md)."""
+    if _WIDE_MODE == "auto":
+        return False  # measured LOSS at the step level (0.60x) — see above
+    return _WIDE_MODE == "on"
+
+
 def conv_eligible(x_shape, w_shape, stride, padding, dilation,
                   groups) -> bool:
-    """The D-stem shape: Ci=1, k=4, s=2, p=1, even spatial dims."""
+    """k=4, s=2, p=1, even spatial dims; Ci=1 (the D stem) by default,
+    any Ci with the wide mode."""
     kd, kh, kw, ci, co = w_shape
     return (groups == 1 and tuple(stride) == (2, 2, 2)
             and tuple(padding) == (1, 1, 1)
             and tuple(dilation) == (1, 1, 1)
-            and kd == kh == kw == 4 and ci == 1 and co >= 8
+            and kd == kh == kw == 4 and co >= 8
+            and (ci == 1 or fast_pix_wide_enabled())
             and all(s % 2 == 0 and s >= 8 for s in x_shape[1:4]))
 
 
 def tconv_eligible(x_shape, w_shape, stride, padding,
                    output_padding) -> bool:
-    """The G-head shape: Co<=2, k=4, s=2, p=1, op=0, wide Ci."""
+    """k=4, s=2, p=1, op=0, wide Ci; Co<=2 (the G head) by default, any
+    Co with the wide mode."""
     kd, kh, kw, ci, co = w_shape
     return (tuple(stride) == (2, 2, 2) and tuple(padding) == (1, 1, 1)
             and tuple(output_padding) == (0, 0, 0)
-            and kd == kh == kw == 4 and co <= 2 and ci >= 8
+            and kd == kh == kw == 4 and ci >= 8
+            and (co <= 2 or fast_pix_wide_enabled())
             and all(s >= 8 for s in x_shape[1:4]))
 
 

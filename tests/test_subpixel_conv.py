@@ -206,3 +206,67 @@ def test_fires_in_dcgan_step(monkeypatch):
     jax.eval_shape(step, state, jnp.zeros((1, 2, 32, 32, 32, 1)),
                    jax.random.key(1))
     assert "conv" in calls and "tconv" in calls, calls
+
+
+# ---- wide (interior-ladder) mode: any Ci / Co ----------------------------
+
+@pytest.fixture()
+def _wide_mode():
+    SP.set_fast_pix_wide_mode("on")
+    yield
+    SP.set_fast_pix_wide_mode("auto")
+
+
+@pytest.mark.parametrize("ci,co", [(8, 16), (16, 8)])
+def test_conv_s2d_wide_channels(ci, co, _wide_mode):
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 12, ci)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, 4, 4, ci, co)).astype(np.float32))
+    ref = _ref_conv(x, w)
+    got = SP.conv_s2d_k4(x, w)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    assert SP.conv_eligible(x.shape, w.shape, (2, 2, 2), (1, 1, 1),
+                            (1, 1, 1), 1)
+
+
+@pytest.mark.parametrize("ci,co", [(16, 8), (8, 16)])
+def test_tconv_d2s_wide_channels(ci, co, _wide_mode):
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 10, ci)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, 4, 4, ci, co)).astype(np.float32))
+    SP.set_fast_pix_mode("off")
+    ref = conv_transpose3d(x, w, stride=2, padding=1)
+    SP.set_fast_pix_mode("auto")
+    got = SP.tconv_d2s(x, w)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    assert SP.tconv_eligible(x.shape, w.shape, (2, 2, 2), (1, 1, 1),
+                             (0, 0, 0))
+
+
+def test_wide_gate_off_by_default():
+    """Interior shapes stay on XLA's native conv unless wide mode is on."""
+    assert not SP.conv_eligible((2, 8, 8, 8, 64), (4, 4, 4, 64, 128),
+                                (2, 2, 2), (1, 1, 1), (1, 1, 1), 1)
+    assert not SP.tconv_eligible((2, 8, 8, 8, 64), (4, 4, 4, 64, 32),
+                                 (2, 2, 2), (1, 1, 1), (0, 0, 0))
+
+
+def test_wide_grads_match(_wide_mode):
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, 4, 4, 8, 8)).astype(np.float32))
+
+    def mk(fn):
+        return jax.jit(jax.grad(
+            lambda x_, w_: jnp.sum(fn(x_, w_) ** 2), argnums=(0, 1)))
+
+    gx_a, gw_a = mk(SP.conv_s2d_k4)(x, w)
+    gx_b, gw_b = mk(_ref_conv)(x, w)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw_a), np.asarray(gw_b),
+                               rtol=2e-4, atol=2e-4)

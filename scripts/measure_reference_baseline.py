@@ -373,6 +373,168 @@ def measure_step_sg2(batch, z_size, filters, res, iters, warmup, iterD=2):
     return dt, plain_dt, reg_dt
 
 
+class RefSG1G64(nn.Module):
+    """The reference StyleGAN-1 generator (stylegan.py:969-1148) at 64^3:
+    the same 8-Linear latent mapping, ones-const 4^3x512 input, AdaIN
+    (imported, stylegan.py:942-959) + trilinear-up + conv ladder, with the
+    128^3-hardcoded channel schedule truncated by one stage for 64^3 —
+    512@4^3 -> 256,256@8^3 -> 128,128@16^3 -> 64,64@32^3 -> 32@64^3 -> 1,
+    exactly the truncation rule gan3d_tpu's StyleGAN1Generator applies
+    (models/stylegan/stylegan1.py:_stage_channels). Style mixing keeps the
+    reference's 5 in-ladder conditionalSplit sites with swapPoint in [0,6).
+
+    As shipped the reference CRASHES in StyleGAN2Loss.run_G unpacking
+    `img, ws = self.G_mapping(z)` (styleGAN_gen returns one tensor,
+    stylegan.py:32/1148); forward here returns (img, w) — the minimal
+    enabling change, matching gan3d_tpu's interpretation. ws is unused by
+    the sg1 loss path (no PL, no loss-side mixing), so this affects
+    nothing timed."""
+
+    def __init__(self, z=512):
+        super().__init__()
+        from stylegan import AdaIN, conditionalSplit  # reference's own
+        self._adain = AdaIN
+        self._split = conditionalSplit
+        self.nz = z
+        self.latentMapping = nn.Sequential(*[
+            m for _ in range(8)
+            for m in (nn.Linear(z, z), nn.LeakyReLU(0.2, inplace=True))])
+        chans = [512, 256, 128, 64, 32]  # _stage_channels(64)
+
+        def conv(cin, cout):
+            return nn.Sequential(
+                nn.Conv3d(cin, cout, 3, 1, 1, bias=False),
+                nn.LeakyReLU(0.2, inplace=True))
+
+        convs, affines = [conv(512, chans[0])], [nn.Linear(z, 2 * 512)]
+        for i in range(1, len(chans) - 1):
+            convs += [conv(chans[i - 1], chans[i]), conv(chans[i], chans[i])]
+            affines += [nn.Linear(z, 2 * chans[i - 1]),
+                        nn.Linear(z, 2 * chans[i])]
+        convs.append(conv(chans[-2], chans[-1]))
+        affines += [nn.Linear(z, 2 * chans[-2]), nn.Linear(z, 2 * chans[-1])]
+        self.convs = nn.ModuleList(convs)
+        self.affines = nn.ModuleList(affines)
+        self.out = nn.Sequential(nn.Conv3d(chans[-1], 1, 3, 1, 1, bias=False),
+                                 nn.Tanh())
+        self._chans = chans
+
+    def forward(self, z_in, w_passed=False):
+        b = z_in.shape[0]
+        if self.training:
+            swap = torch.randint(6, (1, 1, 1)).detach().item()
+        ctr = 0
+
+        def mix(w):
+            nonlocal ctr
+            if self.training:
+                w = self._split(w, swap, ctr, False)
+            ctr += 1
+            return w
+
+        w = torch.squeeze(z_in) if w_passed else \
+            self.latentMapping(torch.squeeze(z_in))
+        h = torch.ones((b, self.nz, 4, 4, 4), dtype=z_in.dtype,
+                       device=z_in.device)
+        ci, ai = 0, 0
+
+        def ada(h):
+            nonlocal ai
+            y = self._adain(h, self.affines[ai](w))
+            ai += 1
+            return y
+
+        h = ada(h)
+        h = self.convs[ci](h); ci += 1  # C1
+        w = mix(w)
+        for _ in range(1, len(self._chans) - 1):
+            h = ada(h)
+            h = F.interpolate(h, scale_factor=2, mode='trilinear')
+            h = self.convs[ci](h); ci += 1   # halve
+            h = ada(h)
+            h = self.convs[ci](h); ci += 1   # same
+            w = mix(w)
+        h = ada(h)
+        h = F.interpolate(h, scale_factor=2, mode='trilinear')
+        h = self.convs[ci](h); ci += 1       # final halve (C8 at 64^3)
+        w = mix(w)
+        h = ada(h)
+        return self.out(h), w
+
+
+def _sg1_setup(batch, z_size, filters, res):
+    from stylegan import Discriminator as StyleD, StyleGAN2Loss
+
+    class P:
+        pass
+
+    p = P()
+    p.z_size = z_size
+    p.filterG = filters
+    p.filterD = filters
+    p.stylegan2 = False
+    p.stylegan = True
+    p.device = "cpu"
+    G = RefSG1G64(z_size)
+    D = StyleD(p, img_resolution=res)
+    loss = StyleGAN2Loss(p, G, None, D)  # trainer.py:62-65
+    optG = torch.optim.Adam(G.parameters(), lr=5e-5, betas=(0.0, 0.9))
+    optD = torch.optim.Adam(D.parameters(), lr=1e-4, betas=(0.0, 0.9))
+    real = torch.randn(batch, 1, res, res, res).clamp_(-1, 1)
+
+    def iteration(step):
+        # p.stylegan makes do_Dr1 TRUE on every D step (stylegan.py:41);
+        # do_Gpl stays False and there is no weight_avg (trainer.py:74-75,
+        # 199-206 are stylegan2-only) — every iteration is the same kind.
+        for _ in range(2):  # iterD
+            for q in D.parameters():
+                q.requires_grad = True
+            D.zero_grad()
+            noise = torch.randn(batch, z_size, 1, 1, 1)
+            loss.step_D(step, real, noise)
+            optD.step()
+            for q in D.parameters():
+                q.requires_grad = False
+        for q in G.parameters():
+            q.requires_grad = True
+        G.zero_grad()
+        noise = torch.randn(batch, z_size, 1, 1, 1)
+        loss.step_G(step, noise)
+        optG.step()
+        for q in G.parameters():
+            q.requires_grad = False
+
+    for q in list(G.parameters()) + list(D.parameters()):
+        q.requires_grad = False
+    return iteration
+
+
+def measure_step_sg1(batch, z_size, filters, res, iters, warmup):
+    """The reference's exact StyleGAN-1 iteration (trainer.py:62-65 wiring:
+    StyleGAN2Loss with G_synthesis=None, R1 on EVERY D step, no PL, no
+    EMA), fp32 eager on host CPU. Returns (step_seconds, aten_ops/iter)."""
+    iteration = _sg1_setup(batch, z_size, filters, res)
+    for k in range(warmup):
+        t = time.perf_counter()
+        iteration(1 + k)
+        print(f"# warmup iter {k}: {time.perf_counter() - t:.0f}s",
+              flush=True)
+    t0 = time.perf_counter()
+    for k in range(iters):
+        t = time.perf_counter()
+        iteration(17 + k)
+        print(f"# iter {k}: {time.perf_counter() - t:.0f}s", flush=True)
+    dt = (time.perf_counter() - t0) / iters
+
+    # steady-state aten-op count for the launch floor (same method as
+    # count_reference_ops.count_sg2: frozen params, warmed-up Adam)
+    from count_reference_ops import OpCounter
+    counter = OpCounter()
+    with counter:
+        iteration(99)
+    return dt, counter.n
+
+
 def measure_gemm(n=2048, iters=8):
     a = torch.randn(n, n)
     b = torch.randn(n, n)
@@ -417,7 +579,7 @@ def main():
     ap.add_argument("--filters", type=int, default=64)
     ap.add_argument("--z", type=int, default=512)
     ap.add_argument("--family", default="biggan",
-                    choices=["biggan", "stylegan2", "dcgan"])
+                    choices=["biggan", "stylegan2", "stylegan", "dcgan"])
     ap.add_argument("--write", action="store_true")
     a = ap.parse_args()
     torch.manual_seed(0)
@@ -496,6 +658,62 @@ def main():
             with open(path, "w") as f:
                 json.dump(data, f, indent=2)
             print(f"# updated {path} [stylegan2]", flush=True)
+        return
+    if a.family == "stylegan":
+        dt, n_ops = measure_step_sg1(a.batch, a.z, a.filters, 64,
+                                     a.iters, a.warmup)
+        vps_cpu = a.batch / dt
+        print(f"# reference sg1 step: {dt:.1f} s -> {vps_cpu:.3f} vol/s on "
+              f"host CPU; {n_ops} aten ops/iteration", flush=True)
+        # Same two-bound transfer as stylegan2: the sg1 iteration shares the
+        # op-heavy sg2 D (6 passes/iter) plus R1 double-backward EVERY step,
+        # so an A100 eager step is bounded below by kernel-launch overhead
+        # as well as by compute. A100 time = max(GEMM-ratio transfer,
+        # n_ops * 5-10us launch floor) at the bench batch of 16.
+        bench_batch = 16
+        t_cpu_b16 = dt * bench_batch / a.batch  # serial host: linear
+        t_high = max(t_cpu_b16 * gemm / A100_GEMM_FP16, n_ops * 5e-6)
+        t_low = max(t_cpu_b16 * gemm / A100_GEMM_TF32, n_ops * 10e-6)
+        vps_a100_high = bench_batch / t_high
+        vps_a100_low = bench_batch / t_low
+        vps_a100 = float(np.sqrt(vps_a100_low * vps_a100_high))
+        print(f"# A100 estimate (launch-floored, batch 16): "
+              f"{vps_a100:.1f} vol/s [{vps_a100_low:.1f} .. "
+              f"{vps_a100_high:.1f}]; launch floor alone "
+              f"{bench_batch / (n_ops * 7e-6):.0f} @7us", flush=True)
+        sub = {
+            "volumes_per_sec": round(vps_a100, 2),
+            "band": [round(vps_a100_low, 2), round(vps_a100_high, 2)],
+            "hardware": "A100 (derived)",
+            "method": ("measured torch reference (stylegan.py:969-1148 "
+                       "styleGAN_gen truncated one stage for 64^3 + the "
+                       "reference's own Discriminator/StyleGAN2Loss with "
+                       "R1 every D step, batch %d, iterD=2, fp32 eager; "
+                       "the shipped run_G unpack crash fixed minimally by "
+                       "returning (img, w)) on host CPU; A100 time = "
+                       "max(GEMM-ratio compute transfer, kernel-launch "
+                       "floor from the measured aten-op count at 5-10us/op)"
+                       " at bench batch 16" % a.batch),
+            "ops_per_iteration": n_ops,
+            "cpu_measured": {
+                "volumes_per_sec": round(vps_cpu, 4),
+                "step_seconds": round(dt, 2),
+                "host_gemm_gflops": round(gemm / 1e9, 1),
+                "threads": n_threads,
+            },
+        }
+        print(json.dumps(sub, indent=2))
+        if a.write:
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BASELINE_MEASURED.json")
+            data = {}
+            if os.path.isfile(path):
+                with open(path) as f:
+                    data = json.load(f)
+            data["stylegan"] = sub
+            with open(path, "w") as f:
+                json.dump(data, f, indent=2)
+            print(f"# updated {path} [stylegan]", flush=True)
         return
     if a.family == "dcgan":
         # BASELINE config 1: DCGAN 64^3, WGAN loss, LayerNorm D. Few ops

@@ -70,6 +70,11 @@ def conv3d(
     if (s2d_conv.fast_stem_enabled()
             and s2d_conv.eligible(x.shape, w.shape, s, p, d, groups)):
         return s2d_conv.stem_conv3d_s2d(x, w)
+    # head_conv3d_tap carries a jax.custom_vjp: first-order grads only —
+    # no jvp, no grad-of-grad. Safe for every current loss (R1 is D-side,
+    # sg2 PL differentiates k=1 modconv heads, never this dispatch), but a
+    # future PL-style regularizer routed through a G tail head conv must
+    # set fast_head="off" or it fails at trace time (ADVICE r3).
     if (tap_conv.fast_head_enabled()
             and tap_conv.eligible(x.shape, w.shape, s, p, d, groups)):
         return tap_conv.head_conv3d_tap(x, w)

@@ -381,7 +381,8 @@ class RefSG1G64(nn.Module):
     512@4^3 -> 256,256@8^3 -> 128,128@16^3 -> 64,64@32^3 -> 32@64^3 -> 1,
     exactly the truncation rule gan3d_tpu's StyleGAN1Generator applies
     (models/stylegan/stylegan1.py:_stage_channels). Style mixing keeps the
-    reference's 5 in-ladder conditionalSplit sites with swapPoint in [0,6).
+    reference's 5 in-ladder conditionalSplit sites with swapPoint in [0,5)
+    (every draw reachable; the 128^3 reference draws [0,6) over 6 sites).
 
     As shipped the reference CRASHES in StyleGAN2Loss.run_G unpacking
     `img, ws = self.G_mapping(z)` (styleGAN_gen returns one tensor,
@@ -422,7 +423,11 @@ class RefSG1G64(nn.Module):
     def forward(self, z_in, w_passed=False):
         b = z_in.shape[0]
         if self.training:
-            swap = torch.randint(6, (1, 1, 1)).detach().item()
+            # the 64^3 truncation keeps 5 conditionalSplit sites (ctr 0-4),
+            # so draw swapPoint from [0,5) to keep every draw reachable —
+            # randint(6) would make ~1/6 of iterations mix nothing, which
+            # the un-truncated 128^3 reference never does (ADVICE r3)
+            swap = torch.randint(5, (1, 1, 1)).detach().item()
         ctr = 0
 
         def mix(w):

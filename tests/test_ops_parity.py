@@ -110,11 +110,13 @@ def test_upsample_trilinear_matmul_vs_torch():
         g_fast = jax.grad(
             lambda v: float(0) + (upsample_trilinear3d(v, 2) ** 2).sum()
         )(xj)
-    finally:
         set_fast_tri_mode("off")
-    g_ref = jax.grad(
-        lambda v: (upsample_trilinear3d(v, 2) ** 2).sum())(xj)
-    set_fast_tri_mode("auto")
+        g_ref = jax.grad(
+            lambda v: (upsample_trilinear3d(v, 2) ** 2).sum())(xj)
+    finally:
+        # restore inside finally so a raise above can't leak "off"/"on"
+        # into later tests in the same process (ADVICE r3)
+        set_fast_tri_mode("auto")
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
 

@@ -150,8 +150,14 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
     n_cache1 = (len(os.listdir(cache_dir))
                 if cache_dir and os.path.isdir(cache_dir) else 0)
     new = n_cache1 - n_cache0
-    print(f"# compile+warmup {compile_s:.1f}s; persistent cache "
-          f"{'MISS (%d new entr%s written)' % (new, 'y' if new == 1 else 'ies') if new else 'HIT (no new entries)'}",
+    if cache_dir is None:
+        cache_msg = "disabled (--no_cache)"
+    elif new:
+        cache_msg = ("MISS (%d new entr%s written)"
+                     % (new, "y" if new == 1 else "ies"))
+    else:
+        cache_msg = "HIT (no new entries)"
+    print(f"# compile+warmup {compile_s:.1f}s; persistent cache {cache_msg}",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for i in range(warmup, warmup + iters):
@@ -215,6 +221,14 @@ def main() -> None:
     p.add_argument("--wide_conv", default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas transposed-layout conv (ops/wide_conv.py)")
+    p.add_argument("--record", action="store_true",
+                   help="write this result into FAMILY_RESULTS.json (the "
+                        "per-family scoreboard bench.py echoes as # lines)")
+    p.add_argument("--no_cache", action="store_true",
+                   help="skip the persistent compile cache: on the axon "
+                        "tunnel a cache HIT re-UPLOADS the ~77 MB serialized "
+                        "executable (measured 350-660 s) while a server-side "
+                        "recompile is ~260 s — A/B knob for that tradeoff")
     p.add_argument("--channel_ratio", type=int, default=4,
                    help="bottleneck shrink (4 = reference; smaller = wider "
                         "hidden convs, better MXU utilization)")
@@ -222,7 +236,8 @@ def main() -> None:
     from gan3d_tpu.ops.subpixel_conv import set_fast_pix_wide_mode
     set_fast_pix_wide_mode(a.fast_pix_wide)
     _init_backend_or_die()
-    _enable_compile_cache()
+    if not a.no_cache:
+        _enable_compile_cache()
     fused = str(a.fused_step).lower() in ("1", "true", "yes")
     if a.family in ("stylegan2", "stylegan"):
         # lazy regularization fires every 16 steps; amortize exactly.
@@ -240,7 +255,16 @@ def main() -> None:
         else:
             candidates = [(a.batch, False), (a.batch, True)]
     else:
-        candidates = [(16, False), (16, True), (8, False), (4, False)]
+        # Family-informed auto ladder (measured A/Bs, docs/PERF.md round 4):
+        # batch 32 beats 16 for stylegan2 (+18%) and dcgan (+14%) but LOSES
+        # for the biggan flagship (18.1 vs 20.3 vol/s, 0.89x) — the ladder
+        # takes the first success, so lead with each family's measured
+        # sweet spot. volumes/sec is batch-independent in the denominator;
+        # the metric string discloses the batch used.
+        first = 16 if a.family == "biggan" else 32
+        candidates = [(first, False), (16, False), (16, True), (8, False),
+                      (4, False)]
+        candidates = list(dict.fromkeys(candidates))
     vps, used = None, None
     for b, remat in candidates:
         try:
@@ -289,6 +313,38 @@ def main() -> None:
     if at64 and band:
         out["vs_baseline_band"] = [round(vps / float(band[1]), 3),
                                    round(vps / float(band[0]), 3)]
+    fam_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "FAMILY_RESULTS.json")
+    if a.record and at64 and not a.quick:
+        fams = {}
+        if os.path.isfile(fam_file):
+            with open(fam_file) as f:
+                fams = json.load(f)
+        fams[a.family] = {
+            "value": out["value"], "unit": out["unit"],
+            "vs_baseline": out["vs_baseline"],
+            "vs_baseline_band": out.get("vs_baseline_band"),
+            "config": f"batch {used}, iterD=2",
+            "measured": time.strftime("%Y-%m-%d") + " (builder-run)",
+        }
+        with open(fam_file, "w") as f:
+            json.dump(fams, f, indent=2)
+    # Echo the other families' most recent measured numbers so the driver's
+    # single-family artifact tail carries the whole scoreboard (VERDICT r3
+    # next #2). '#' lines go to stderr; the JSON line below stays the only
+    # stdout line.
+    if os.path.isfile(fam_file):
+        with open(fam_file) as f:
+            fams = json.load(f)
+        for k, v in fams.items():
+            if k.startswith("_") or k == a.family:
+                continue
+            b = v.get("vs_baseline_band")
+            print(f"# family {k}: {v['value']} vol/s, vs_baseline "
+                  f"{v['vs_baseline']}"
+                  + (f" [{b[0]}, {b[1]}]" if b else "")
+                  + f" ({v.get('measured', '?')})",
+                  file=sys.stderr, flush=True)
     print(json.dumps(out))
 
 

@@ -1,5 +1,14 @@
 """A/B: K training steps chained inside ONE jitted lax.scan program.
 
+VERDICT (round 4, measured): NO-GO — dcgan 64^3 batch 32 on v5e measured
+460.3 vol/s chained (K=8) vs 470.1 per-step (0.979x). JAX's async
+dispatch already pipelines the per-step loop (single readback at the
+end); there is no per-dispatch bubble for scan to close. The trace's
+"device busy 37.8 ms vs 68 ms wall" gap that motivated this was profiler
+attribution undercounting, not real idle time. Kept as the recorded
+negative result + re-measurement harness (docs/PERF.md round 4
+session 2).
+
 Motivation (round 4): the dcgan 64^3 batch-32 trace shows device busy =
 37.8 ms/step but wall = ~60-70 ms/step — only ~54-63% device utilization.
 bench.py's dispatch loop already pipelines (single readback at the end),
@@ -53,15 +62,15 @@ def main() -> None:
     batch = args.batch or (32 if args.family in ("dcgan", "stylegan2")
                            else 16)
     res = 64
-    fam_kw = {}
-    if args.family == "dcgan":
-        fam_kw = dict(dcgan=True)
-    elif args.family == "stylegan2":
-        fam_kw = dict(stylegan2=True)
-    elif args.family == "stylegan":
-        fam_kw = dict(stylegan=True)
-    cfg = Config(num_epochs=1, z_size=512, batch_size=batch, iterD=2,
-                 image_size=res, log_dir=tempfile.mkdtemp(prefix="chain_"),
+    fam_kw = {
+        "biggan": {"biggan": True, "hinge": True},
+        "stylegan2": {"stylegan2": True},
+        "stylegan": {"stylegan": True},
+        "dcgan": {"dcgan": True},
+    }[args.family]
+    cfg = Config(resolution=res, filterG=64, filterD=64, z_size=512,
+                 batch_size=batch, iterD=2, fid_in_loop=False,
+                 log_dir=tempfile.mkdtemp(prefix="chain_"),
                  data_loader_workers=1, **fam_kw)
     tr = Trainer(_ZeroDataset(4 * batch, res), cfg)
     rng = np.random.default_rng(0)
@@ -107,13 +116,13 @@ def main() -> None:
         state, ms = jax.lax.scan(body, state, reals_k)
         return state, jax.tree.map(lambda x: x[-1], ms)
 
-    rep = tr._rep if hasattr(tr, "_rep") else None
     chain = jax.jit(chain_fn, donate_argnums=(0,))
     reals_k = jax.device_put(
         rng.normal(size=(K, cfg.iterD, batch, res, res, res, 1))
         .astype(np.float32).clip(-1, 1))
 
-    state = tr.state
+    # arm A's _step donates its state argument, so tr.state is gone —
+    # continue from arm A's live output state.
     t0 = time.perf_counter()
     for _ in range(max(1, args.warmup // K)):
         state, m = chain(state, reals_k, tr._base_key)

@@ -56,8 +56,14 @@ def bench_gemm(m: int, k: int, n: int, iters: int = 30) -> float:
             # perturbation underflows bf16 (value-neutral). Carry the SMALL
             # operand: carrying `a` double-buffers it and the 4M-row sg1
             # shapes (13.9 GB in bf16) then OOM HBM.
-            b = b + (out[0, 0] * 1e-38).astype(b.dtype)
-            return (b, acc + out[0, 0]), None
+            # Consume the WHOLE output: a first cut fed only out[0, 0]
+            # forward and XLA strength-reduced the GEMM to one output row —
+            # the sg1 shapes then "measured" 570 TF/s, 2.9x above MXU peak.
+            # The sum reduction fuses into the GEMM epilogue (no extra HBM
+            # round-trip) and depends on every output element.
+            tot = jnp.sum(out)
+            b = b + (tot * 1e-38).astype(b.dtype)
+            return (b, acc + tot), None
 
         (_, acc), _ = jax.lax.scan(body, (b, jnp.float32(0)), None,
                                    length=iters)

@@ -107,6 +107,8 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
         "stylegan": {"stylegan": True},
         "dcgan": {"dcgan": True},  # reference default variant: WGAN loss,
                                    # LayerNorm D (dcgan.py:158-182)
+        "hybrid": {"hybrid": True},  # BigGAN G + DCGAN D, WGAN loss
+                                     # (reference trainer.py:52-54)
     }[family]
     cfg = Config(resolution=resolution, filterG=filters, filterD=filters,
                  z_size=512, batch_size=batch_size, iterD=2, remat=remat,
@@ -175,7 +177,7 @@ def main() -> None:
     p.add_argument("--resolution", type=int, default=64)
     p.add_argument("--filters", type=int, default=64)
     p.add_argument("--family", default="biggan",
-                   choices=["biggan", "stylegan2", "stylegan", "dcgan"])
+                   choices=["biggan", "stylegan2", "stylegan", "dcgan", "hybrid"])
     p.add_argument("--fused_step", default="True")
     p.add_argument("--fast_conv", default="auto",
                    choices=["auto", "on", "off"],
@@ -261,7 +263,7 @@ def main() -> None:
         # takes the first success, so lead with each family's measured
         # sweet spot. volumes/sec is batch-independent in the denominator;
         # the metric string discloses the batch used.
-        first = 16 if a.family == "biggan" else 32
+        first = 16 if a.family in ("biggan", "hybrid") else 32
         candidates = [(first, False), (16, False), (16, True), (8, False),
                       (4, False)]
         candidates = list(dict.fromkeys(candidates))
@@ -296,7 +298,8 @@ def main() -> None:
             baseline = float(_data[a.family]["volumes_per_sec"])
             band = _data[a.family].get("band")
     name = {"stylegan2": "StyleGAN2-3D", "stylegan": "StyleGAN1-3D",
-            "dcgan": "DCGAN-3D", "biggan": "BigGAN-Deep-3D"}[a.family]
+            "dcgan": "DCGAN-3D", "biggan": "BigGAN-Deep-3D",
+            "hybrid": "Hybrid-3D (BigGAN G + DCGAN D)"}[a.family]
     out = {
         "metric": f"{name} {a.resolution}^3 train throughput "
                   f"(batch {used}, iterD=2{', hinge' if a.family == 'biggan' else ''})",
@@ -315,7 +318,9 @@ def main() -> None:
                                    round(vps / float(band[0]), 3)]
     fam_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "FAMILY_RESULTS.json")
-    if a.record and at64 and not a.quick:
+    # record any full 64^3 run; vs_baseline stays null for families with no
+    # measured reference denominator (e.g. hybrid).
+    if a.record and a.resolution == 64 and not a.quick:
         fams = {}
         if os.path.isfile(fam_file):
             with open(fam_file) as f:

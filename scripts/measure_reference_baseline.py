@@ -584,7 +584,8 @@ def main():
     ap.add_argument("--filters", type=int, default=64)
     ap.add_argument("--z", type=int, default=512)
     ap.add_argument("--family", default="biggan",
-                    choices=["biggan", "stylegan2", "stylegan", "dcgan"])
+                    choices=["biggan", "stylegan2", "stylegan", "dcgan",
+                             "hybrid"])
     ap.add_argument("--write", action="store_true")
     a = ap.parse_args()
     torch.manual_seed(0)
@@ -720,6 +721,65 @@ def main():
                 json.dump(data, f, indent=2)
             print(f"# updated {path} [stylegan]", flush=True)
         return
+    if a.family == "hybrid":
+        # --hybrid (reference trainer.py:52-54): BigGAN-deep G + the DCGAN
+        # WGAN-LayerNorm D, WGAN loss (the default; hybrid has no canonical
+        # hinge run). Eager op count sits near the biggan flagship's, far
+        # under the sg2 launch-floor regime, so the plain GEMM-ratio
+        # transfer applies (same method as the biggan headline).
+        G = RefG64(a.filters, a.z)
+        D = RefDCGAN_D64(a.filters)
+        gf = count_forward_flops(G, torch.randn(a.batch, a.z, 1, 1, 1))
+        df = count_forward_flops(D, torch.randn(a.batch, 1, 64, 64, 64))
+        step_flops = 2 * (gf + 6 * df) + (3 * gf + 3 * df)
+        print(f"# G fwd {gf / 1e9:.1f} GFLOP, D fwd {df / 1e9:.1f} GFLOP, "
+              f"full iteration ~{step_flops / 1e12:.2f} TFLOP", flush=True)
+        dt = measure_step(G, D, a.batch, a.z, 64, a.iters, a.warmup,
+                          loss="wgan")
+        vps_cpu = a.batch / dt
+        eff_cpu = step_flops / dt
+        print(f"# reference hybrid step: {dt:.1f} s -> {vps_cpu:.3f} vol/s "
+              f"on host CPU ({eff_cpu / 1e9:.1f} GFLOP/s sustained, "
+              f"{100 * eff_cpu / gemm:.0f}% of host GEMM rate)", flush=True)
+        frac = eff_cpu / gemm
+        vps_a100_high = a.batch / (step_flops / (frac * A100_GEMM_FP16))
+        vps_a100_low = a.batch / (step_flops / (frac * A100_GEMM_TF32))
+        vps_a100 = float(np.sqrt(vps_a100_low * vps_a100_high))
+        print(f"# A100 estimate: {vps_a100:.1f} vol/s "
+              f"[{vps_a100_low:.1f} (TF32) .. {vps_a100_high:.1f} (fp16)]",
+              flush=True)
+        sub = {
+            "volumes_per_sec": round(vps_a100, 2),
+            "band": [round(vps_a100_low, 2), round(vps_a100_high, 2)],
+            "hardware": "A100 (derived)",
+            "method": ("measured torch reference (--hybrid: biggan.py G + "
+                       "dcgan.py:158-182 WGAN-LayerNorm D at 64^3, batch "
+                       "%d, iterD=2, WGAN, fp32 eager) on host CPU; A100 "
+                       "derived by GEMM-ratio roofline transfer like the "
+                       "biggan headline" % a.batch),
+            "cpu_measured": {
+                "volumes_per_sec": round(vps_cpu, 4),
+                "step_seconds": round(dt, 2),
+                "sustained_gflops": round(eff_cpu / 1e9, 1),
+                "host_gemm_gflops": round(gemm / 1e9, 1),
+                "threads": n_threads,
+                "step_tflop": round(step_flops / 1e12, 2),
+            },
+        }
+        print(json.dumps(sub, indent=2))
+        if a.write:
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BASELINE_MEASURED.json")
+            data = {}
+            if os.path.isfile(path):
+                with open(path) as f:
+                    data = json.load(f)
+            data["hybrid"] = sub
+            with open(path, "w") as f:
+                json.dump(data, f, indent=2)
+            print(f"# updated {path} [hybrid]", flush=True)
+        return
+
     if a.family == "dcgan":
         # BASELINE config 1: DCGAN 64^3, WGAN loss, LayerNorm D. Few ops
         # per eager iteration (~40 modules/net), so the launch floor is

@@ -68,6 +68,34 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+FAM_LOSS_NOTE = {
+    # family-specific loss/arch annotation recorded with each scoreboard row
+    # so a --record re-run reproduces the full config string (ADVICE r4).
+    "biggan": "hinge",
+    "dcgan": "WGAN",
+    "hybrid": "WGAN (BigGAN G + DCGAN D)",
+    "stylegan2": "softplus, lazy reg amortized 1/16",
+    "stylegan": "softplus, lazy reg amortized 1/16",
+}
+
+
+def _echo_scoreboard(fam_file: str, skip: str | None, note: str = "") -> None:
+    """Emit the recorded per-family scoreboard as '#' stderr lines."""
+    if not os.path.isfile(fam_file):
+        return
+    with open(fam_file) as f:
+        fams = json.load(f)
+    for k, v in fams.items():
+        if k.startswith("_") or k == skip:
+            continue
+        b = v.get("vs_baseline_band")
+        print(f"# family {k}: {v['value']} vol/s, vs_baseline "
+              f"{v['vs_baseline']}"
+              + (f" [{b[0]}, {b[1]}]" if b else "")
+              + f" ({v.get('measured', '?')}){note}",
+              file=sys.stderr, flush=True)
+
+
 class _ZeroDataset:
     """Stub dataset for Trainer construction; the bench drives the jitted
     step directly with synthetic device-resident batches."""
@@ -235,6 +263,28 @@ def main() -> None:
                    help="bottleneck shrink (4 = reference; smaller = wider "
                         "hidden convs, better MXU utilization)")
     a = p.parse_args()
+    fam_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "FAMILY_RESULTS.json")
+    # Timeout-proofing (VERDICT r4 #3): the trainer init + compile take
+    # minutes (the ~77 MB executable transfer over the tunnel); a driver
+    # timeout mid-compile used to leave an artifact with zero scoreboard
+    # content. Emit ALL recorded family rows AND the previous record for
+    # this bench's own family BEFORE touching the backend, so killing the
+    # process at any point after ~1 s still leaves a complete scoreboard
+    # in the output tail. The fresh JSON printed after measurement remains
+    # the LAST stdout line (which the driver parses).
+    _echo_scoreboard(fam_file, skip=None, note=" [previous record]")
+    if os.path.isfile(fam_file):
+        with open(fam_file) as f:
+            _prev = json.load(f).get(a.family)
+        if _prev:
+            print("# previous_record " + json.dumps(
+                {"metric": f"{a.family} 64^3 train throughput "
+                           f"({_prev.get('config', '?')}) [previous record]",
+                 "value": _prev["value"], "unit": _prev["unit"],
+                 "vs_baseline": _prev["vs_baseline"],
+                 "vs_baseline_band": _prev.get("vs_baseline_band")}),
+                file=sys.stderr, flush=True)
     from gan3d_tpu.ops.subpixel_conv import set_fast_pix_wide_mode
     set_fast_pix_wide_mode(a.fast_pix_wide)
     _init_backend_or_die()
@@ -316,8 +366,6 @@ def main() -> None:
     if at64 and band:
         out["vs_baseline_band"] = [round(vps / float(band[1]), 3),
                                    round(vps / float(band[0]), 3)]
-    fam_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "FAMILY_RESULTS.json")
     # record any full 64^3 run; vs_baseline stays null for families with no
     # measured reference denominator (e.g. hybrid).
     if a.record and a.resolution == 64 and not a.quick:
@@ -329,7 +377,7 @@ def main() -> None:
             "value": out["value"], "unit": out["unit"],
             "vs_baseline": out["vs_baseline"],
             "vs_baseline_band": out.get("vs_baseline_band"),
-            "config": f"batch {used}, iterD=2",
+            "config": f"batch {used}, iterD=2, {FAM_LOSS_NOTE[a.family]}",
             "measured": time.strftime("%Y-%m-%d") + " (builder-run)",
         }
         with open(fam_file, "w") as f:
@@ -338,18 +386,7 @@ def main() -> None:
     # single-family artifact tail carries the whole scoreboard (VERDICT r3
     # next #2). '#' lines go to stderr; the JSON line below stays the only
     # stdout line.
-    if os.path.isfile(fam_file):
-        with open(fam_file) as f:
-            fams = json.load(f)
-        for k, v in fams.items():
-            if k.startswith("_") or k == a.family:
-                continue
-            b = v.get("vs_baseline_band")
-            print(f"# family {k}: {v['value']} vol/s, vs_baseline "
-                  f"{v['vs_baseline']}"
-                  + (f" [{b[0]}, {b[1]}]" if b else "")
-                  + f" ({v.get('measured', '?')})",
-                  file=sys.stderr, flush=True)
+    _echo_scoreboard(fam_file, skip=a.family)
     print(json.dumps(out))
 
 

@@ -41,7 +41,9 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--family", default="dcgan")
+    p.add_argument("--family", default="dcgan",
+                   choices=["biggan", "stylegan2", "stylegan", "dcgan",
+                            "hybrid"])
     p.add_argument("--batch", type=int, default=0, help="0 = family default")
     p.add_argument("--k", type=int, default=8, help="steps per scan call")
     p.add_argument("--iters", type=int, default=40,
@@ -67,6 +69,7 @@ def main() -> None:
         "stylegan2": {"stylegan2": True},
         "stylegan": {"stylegan": True},
         "dcgan": {"dcgan": True},
+        "hybrid": {"hybrid": True},
     }[args.family]
     cfg = Config(resolution=res, filterG=64, filterD=64, z_size=512,
                  batch_size=batch, iterD=2, fid_in_loop=False,
@@ -117,9 +120,15 @@ def main() -> None:
         return state, jax.tree.map(lambda x: x[-1], ms)
 
     chain = jax.jit(chain_fn, donate_argnums=(0,))
+    # K-leading variant of the trainer's batch sharding so arm B measures
+    # the same data placement as arm A under a multi-device mesh.
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    batch_in_k = NamedSharding(
+        tr.mesh, PartitionSpec(None, *tr._batch_in.spec))
     reals_k = jax.device_put(
         rng.normal(size=(K, cfg.iterD, batch, res, res, res, 1))
-        .astype(np.float32).clip(-1, 1))
+        .astype(np.float32).clip(-1, 1), batch_in_k)
 
     # arm A's _step donates its state argument, so tr.state is gone —
     # continue from arm A's live output state.

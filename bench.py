@@ -120,7 +120,8 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
             wide_conv: str = "auto", downconv_vjp: str = "auto",
             fast_stem: str = "auto", fast_head: str = "auto",
             fast_fir: str = "auto", fast_c1: str = "auto",
-            fast_pix: str = "auto", fast_tri: str = "auto") -> float:
+            fast_pix: str = "auto", fast_tri: str = "auto",
+            fast_adain: str = "auto") -> float:
     import tempfile
 
     import jax
@@ -146,6 +147,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
                  downconv_vjp=downconv_vjp, fast_stem=fast_stem,
                  fast_head=fast_head, fast_fir=fast_fir, fast_c1=fast_c1,
                  fast_pix=fast_pix, fast_tri=fast_tri,
+                 fast_adain=fast_adain,
                  fid_in_loop=False,
                  xla_vmem_limit_kib=xla_vmem,
                  log_dir=tempfile.mkdtemp(prefix="bench_"),
@@ -240,6 +242,14 @@ def main() -> None:
                    choices=["auto", "on", "off"],
                    help="trilinear upsample as banded spatial matmuls "
                         "(ops/conv3d.py, StyleGAN-1 G)")
+    p.add_argument("--fast_adain", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="one-pass-moments AdaIN lowering (StyleGAN-1, "
+                        "models/stylegan/stylegan1.py)")
+    p.add_argument("--c1_wfirst", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="W-band-first einsum order for the sg2 up-conv "
+                        "band lowering (ops/c1_conv.py)")
     p.add_argument("--fast_pix_wide", default="auto",
                    choices=["auto", "on", "off"],
                    help="extend the sub-pixel rewrite to the interior "
@@ -287,6 +297,8 @@ def main() -> None:
                 file=sys.stderr, flush=True)
     from gan3d_tpu.ops.subpixel_conv import set_fast_pix_wide_mode
     set_fast_pix_wide_mode(a.fast_pix_wide)
+    from gan3d_tpu.ops.c1_conv import set_c1_wfirst_mode
+    set_c1_wfirst_mode(a.c1_wfirst)
     _init_backend_or_die()
     if not a.no_cache:
         _enable_compile_cache()
@@ -324,7 +336,8 @@ def main() -> None:
                           a.channel_ratio, a.family, fused, a.fast_conv,
                           a.remat_scope, a.xla_vmem, a.fast_dw, a.wide_conv,
                           a.downconv_vjp, a.fast_stem, a.fast_head,
-                          a.fast_fir, a.fast_c1, a.fast_pix, a.fast_tri)
+                          a.fast_fir, a.fast_c1, a.fast_pix, a.fast_tri,
+                          a.fast_adain)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback

@@ -218,6 +218,13 @@ class Config:
                                  # copies (round-3 session-5 trace).
                                  # "auto" resolves per the measured A/B
                                  # (fast_tri_enabled()).
+    fast_adain: str = "auto"     # StyleGAN-1 AdaIN lowering: one-pass
+                                 # moments (Σx, Σx² fused into the producer
+                                 # conv's epilogue — removes the var pass's
+                                 # second full read) + single-FMA apply
+                                 # (models/stylegan/stylegan1.py:ada_in).
+                                 # "auto" resolves per the measured A/B
+                                 # (fast_adain_enabled()).
     fast_pix: str = "auto"       # sub-pixel (s2d/d2s) rewrite of the DCGAN
                                  # family's k=4 s=2 single-channel boundary
                                  # convs (ops/subpixel_conv.py): G's final

@@ -28,22 +28,57 @@ from gan3d_tpu.ops.conv3d import upsample_trilinear3d
 Dtype = Any
 
 
+_ADAIN_MODE = "auto"
+
+
+def set_fast_adain_mode(mode: str) -> None:
+    global _ADAIN_MODE
+    assert mode in ("off", "auto", "on"), mode
+    _ADAIN_MODE = mode
+
+
+def fast_adain_enabled() -> bool:
+    if _ADAIN_MODE == "auto":
+        # auto = off until the step-level A/B on the chip says otherwise
+        # (the 4-for-4 lesson: only bench.py A/Bs count — docs/PERF.md).
+        return False
+    return _ADAIN_MODE == "on"
+
+
 def ada_in(content: jax.Array, style: jax.Array, eps: float = 1e-5
            ) -> jax.Array:
     """Instance-normalize content and re-scale with style (mean ++ std).
 
     content: [N, D, H, W, C]; style: [N, 2C] (first C = means, last C = stds
-    — reference AdaIN, stylegan.py:942-959)."""
+    — reference AdaIN, stylegan.py:942-959).
+
+    Two lowerings, identical algebra:
+    - reference form: mean pass (fuses into the producing conv), var pass
+      (a SECOND full read of x — it depends on mean), normalize+affine;
+    - fused form (fast_adain): one-pass moments s1=Σx, s2=Σx² — both
+      reductions fuse into the producer's epilogue, eliminating the var
+      read — then the apply folded to a single FMA x·A + B with
+      A = s_std/σ, B = s_mean − μ·A. Uses E[x²]−μ² (exact algebra; f32
+      rounding differs ~1e-6 relative for post-lrelu activations).
+    """
     c = content.shape[-1]
     x32 = content.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
     # reference meanAndStd uses torch .var default = UNBIASED variance
     n_el = content.shape[1] * content.shape[2] * content.shape[3]
+    s_mean = style[:, :c].reshape(-1, 1, 1, 1, c).astype(jnp.float32)
+    s_std = style[:, c:].reshape(-1, 1, 1, 1, c).astype(jnp.float32)
+    if fast_adain_enabled():
+        s1 = jnp.sum(x32, axis=(1, 2, 3), keepdims=True)
+        s2 = jnp.sum(x32 * x32, axis=(1, 2, 3), keepdims=True)
+        mean = s1 / n_el
+        var = jnp.maximum(s2 / n_el - mean * mean, 0.0) * (n_el / (n_el - 1))
+        a = s_std * jax.lax.rsqrt(var + eps)
+        b = s_mean - mean * a
+        return (x32 * a + b).astype(content.dtype)
+    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
     var = jnp.var(x32, axis=(1, 2, 3), keepdims=True) * (n_el / (n_el - 1))
     std = jnp.sqrt(var + eps)
     normed = (x32 - mean) / std
-    s_mean = style[:, :c].reshape(-1, 1, 1, 1, c).astype(jnp.float32)
-    s_std = style[:, c:].reshape(-1, 1, 1, 1, c).astype(jnp.float32)
     return (normed * s_std + s_mean).astype(content.dtype)
 
 

@@ -126,6 +126,34 @@ def _shift_bands_ud(w_in: int, k: int, p0: int, p1: int, up: int,
     return s
 
 
+_WFIRST_MODE = os.environ.get("GAN3D_C1_WFIRST", "auto")
+
+
+def set_c1_wfirst_mode(mode: str) -> None:
+    global _WFIRST_MODE
+    assert mode in ("off", "auto", "on"), mode
+    _WFIRST_MODE = mode
+
+
+def c1_wfirst_enabled() -> bool:
+    """W-band-first einsum order for the UP form of small_conv3d_ud.
+
+    The round-4 sg2 batch-32 trace pins ~3% of the step on 3x0.98 ms
+    relayouts of the up-conv's [kd,kh,N,Do,Ho,W,Ci] intermediate (~155 MB
+    at 64^3 batch 32): the D/H shift GEMMs expand the spatial extents
+    BEFORE the W contraction, so the largest tensor of the chain is also
+    the one XLA re-lays-out between producer and consumer. Contracting
+    the W band first (on the small pre-upsample input) and expanding
+    D/H afterwards makes every intermediate output-sized-or-smaller
+    (~40 MB total). auto = per the measured step-level A/B.
+    """
+    if _WFIRST_MODE == "auto":
+        # auto = off until the step-level A/B on the chip says otherwise
+        # (the 4-for-4 lesson: only bench.py A/Bs count — docs/PERF.md).
+        return False
+    return _WFIRST_MODE == "on"
+
+
 def small_conv3d_ud(x: jax.Array, w: jax.Array,
                     pads: Tuple[Tuple[int, int], ...],
                     up: Tuple[int, int, int],
@@ -163,6 +191,19 @@ def small_conv3d_ud(x: jax.Array, w: jax.Array,
                    sw).astype(x.dtype)
 
     f32 = jnp.float32
+    if c1_wfirst_enabled() and (uz, uy) == (2, 2):
+        # W-band first on the pre-upsample input, THEN the D/H expansion
+        # GEMMs — every intermediate stays output-sized-or-smaller (the
+        # default order materializes a [kd,kh,N,Do,Ho,W,Ci] tensor that
+        # is the largest of the chain and gets relayouted; see
+        # c1_wfirst_enabled).
+        z1 = jnp.einsum("nzhui,tsiouv->tsnzhvo", x, b,
+                        preferred_element_type=f32).astype(x.dtype)
+        z2 = jnp.einsum("tsnzhvo,tzD->snDhvo", z1, sd.astype(x.dtype),
+                        preferred_element_type=f32).astype(x.dtype)
+        y = jnp.einsum("snDhvo,shH->nDHvo", z2, sh.astype(x.dtype),
+                       preferred_element_type=f32)
+        return y.astype(x.dtype)
     xd = jnp.einsum("nzhui,tzD->tnDhui", x, sd.astype(x.dtype),
                     preferred_element_type=f32).astype(x.dtype)
     xs = jnp.einsum("tnDyui,syH->tsnDHui", xd, sh.astype(x.dtype),

@@ -113,6 +113,8 @@ class Trainer:
         set_fast_pix_mode(cfg.fast_pix)
         from gan3d_tpu.ops.conv3d import set_fast_tri_mode
         set_fast_tri_mode(cfg.fast_tri)
+        from gan3d_tpu.models.stylegan.stylegan1 import set_fast_adain_mode
+        set_fast_adain_mode(cfg.fast_adain)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):

@@ -164,6 +164,42 @@ def test_small_conv3d_ud_matches_xla(ci, co, up, down, pads, shape):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("case", ["g-up", "up-asym"])
+def test_small_conv3d_ud_wfirst_parity(case):
+    """The W-band-first einsum order (c1_wfirst, up-convs only): values
+    AND both grads match the default order / XLA."""
+    ci, co, pads, shape = {
+        "g-up": (2, 1, ((2, 2), (2, 2), (2, 2)), (2, 5, 6, 32, 2)),
+        "up-asym": (1, 1, ((1, 2), (2, 1), (2, 2)), (2, 4, 5, 32, 1)),
+    }[case]
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32))
+    u3, d3 = (2,) * 3, (1,) * 3
+    ref = _xla_conv_ud(x, w, pads, u3, d3)
+
+    def loss(fn):
+        return lambda xx, ww: jnp.sum(fn(xx, ww) ** 2)
+
+    gx_ref, gw_ref = jax.grad(
+        loss(lambda a, b: _xla_conv_ud(a, b, pads, u3, d3)),
+        argnums=(0, 1))(x, w)
+    C.set_c1_wfirst_mode("on")
+    try:
+        got = C.small_conv3d_ud(x, w, pads, u3, d3)
+        gx, gw = jax.grad(
+            loss(lambda a, b: C.small_conv3d_ud(a, b, pads, u3, d3)),
+            argnums=(0, 1))(x, w)
+    finally:
+        C.set_c1_wfirst_mode("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("up,down", [(2, 1), (1, 2)], ids=["up", "down"])
 def test_small_conv3d_ud_grads_match(up, down):
     rng = np.random.default_rng(4)

@@ -272,6 +272,45 @@ class TestStyleGANModels:
         # res 16 -> 2 upsample stages -> affines A1..A5
         assert "A5" in variables["params"] and "A6" not in variables["params"]
 
+    def test_stylegan1_fast_adain_parity(self):
+        """The one-pass-moments AdaIN lowering matches the reference form
+        (exact algebra; f32 rounding via E[x²]−μ² only) — at the op AND
+        through a jitted G forward."""
+        from gan3d_tpu.models.stylegan import StyleGAN1Generator
+        from gan3d_tpu.models.stylegan.stylegan1 import (ada_in,
+                                                         set_fast_adain_mode)
+
+        x = jnp.asarray(RNG.normal(size=(2, 8, 8, 8, 16)), jnp.float32)
+        style = jnp.asarray(RNG.normal(size=(2, 32)), jnp.float32)
+        set_fast_adain_mode("off")
+        try:
+            ref = np.asarray(ada_in(x, style))
+            set_fast_adain_mode("on")
+            fused = np.asarray(ada_in(x, style))
+        finally:
+            set_fast_adain_mode("auto")
+        np.testing.assert_allclose(fused, ref, rtol=2e-4, atol=2e-4)
+
+        cfg = Config(stylegan=True, resolution=16, z_size=64,
+                     compute_dtype="float32")
+        G = StyleGAN1Generator(cfg)
+        key = jax.random.key(0)
+        z = jax.random.normal(key, (2, 64))
+        variables = G.init({"params": key, "mixing": key}, z)
+
+        def fwd():
+            return np.asarray(jax.jit(
+                lambda v, zz: G.apply(v, zz, train=False))(variables, z))
+
+        set_fast_adain_mode("off")
+        try:
+            img_ref = fwd()
+            set_fast_adain_mode("on")
+            img_fused = fwd()
+        finally:
+            set_fast_adain_mode("auto")
+        np.testing.assert_allclose(img_fused, img_ref, rtol=5e-4, atol=5e-4)
+
     def test_mapping_w_avg_update(self):
         from gan3d_tpu.models.stylegan.mapping import MappingNetwork
 

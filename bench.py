@@ -86,6 +86,10 @@ def _echo_scoreboard(fam_file: str, skip: str | None, note: str = "") -> None:
     with open(fam_file) as f:
         fams = json.load(f)
     for k, v in fams.items():
+        if k == "_marathon":
+            # the round-5 long-horizon training-run record (docs/ROUND5.md)
+            print(f"# marathon: {v}", file=sys.stderr, flush=True)
+            continue
         if k.startswith("_") or k == skip:
             continue
         b = v.get("vs_baseline_band")
@@ -246,6 +250,11 @@ def main() -> None:
                    choices=["auto", "on", "off"],
                    help="one-pass-moments AdaIN lowering (StyleGAN-1, "
                         "models/stylegan/stylegan1.py)")
+    p.add_argument("--c1_act", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="bias+activation of C=1 tensors on the squeezed "
+                        "4-D view (stylegan fromrgb — "
+                        "models/stylegan/layers.py)")
     p.add_argument("--c1_wfirst", default="auto",
                    choices=["auto", "on", "off"],
                    help="W-band-first einsum order for the sg2 up-conv "
@@ -299,6 +308,8 @@ def main() -> None:
     set_fast_pix_wide_mode(a.fast_pix_wide)
     from gan3d_tpu.ops.c1_conv import set_c1_wfirst_mode
     set_c1_wfirst_mode(a.c1_wfirst)
+    from gan3d_tpu.models.stylegan.layers import set_c1act_mode
+    set_c1act_mode(a.c1_act)
     _init_backend_or_die()
     if not a.no_cache:
         _enable_compile_cache()

@@ -37,9 +37,38 @@ ACTIVATIONS: dict[str, Callable] = {
 }
 
 
+_C1ACT_MODE = "auto"
+
+
+def set_c1act_mode(mode: str) -> None:
+    global _C1ACT_MODE
+    assert mode in ("off", "auto", "on"), mode
+    _C1ACT_MODE = mode
+
+
+def c1act_enabled() -> bool:
+    """Apply bias+activation of C=1 tensors on the channel-squeezed 4-D
+    view. The StyleGAN D's fromrgb at the reference channel table is a
+    1-CHANNEL conv at top resolution, and its leaky_relu compare_selects
+    run pinned in the degenerate C=1 T(2,128) layout (14.2 ms = 5% of the
+    sg1 64^3 step, round-3 session-5 trace). Squeezing C lets XLA lay the
+    elementwise out densely. auto = per the measured step-level A/B."""
+    if _C1ACT_MODE == "auto":
+        # auto = off until the step-level A/B on the chip says otherwise
+        # (the 4-for-4 lesson: only bench.py A/Bs count — docs/PERF.md).
+        return False
+    return _C1ACT_MODE == "on"
+
+
 def bias_act(x: jax.Array, b: Optional[jax.Array] = None,
              act: str = "linear") -> jax.Array:
     """Add channel bias (last axis in NDHWC) then activate."""
+    if (x.ndim == 5 and x.shape[-1] == 1 and act != "linear"
+            and c1act_enabled()):
+        y = x.reshape(x.shape[:-1])
+        if b is not None:
+            y = y + b.astype(x.dtype)[0]
+        return ACTIVATIONS[act](y).reshape(x.shape)
     if b is not None:
         x = x + b.astype(x.dtype)
     return ACTIVATIONS[act](x)

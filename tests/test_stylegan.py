@@ -272,6 +272,32 @@ class TestStyleGANModels:
         # res 16 -> 2 upsample stages -> affines A1..A5
         assert "A5" in variables["params"] and "A6" not in variables["params"]
 
+    def test_c1act_bias_act_parity(self):
+        """bias_act's squeezed-C=1 path is numerically identical (values
+        and grads) to the default path."""
+        from gan3d_tpu.models.stylegan.layers import bias_act, set_c1act_mode
+
+        x = jnp.asarray(RNG.normal(size=(2, 4, 4, 4, 1)), jnp.float32)
+        b = jnp.asarray(RNG.normal(size=(1,)), jnp.float32)
+
+        def f(xx, bb):
+            return jnp.sum(bias_act(xx, bb, act="lrelu") ** 2)
+
+        set_c1act_mode("off")
+        try:
+            ref, (gx_ref, gb_ref) = (
+                bias_act(x, b, act="lrelu"),
+                jax.grad(f, argnums=(0, 1))(x, b))
+            set_c1act_mode("on")
+            got, (gx, gb) = (
+                bias_act(x, b, act="lrelu"),
+                jax.grad(f, argnums=(0, 1))(x, b))
+        finally:
+            set_c1act_mode("auto")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref))
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref))
+
     def test_stylegan1_fast_adain_parity(self):
         """The one-pass-moments AdaIN lowering matches the reference form
         (exact algebra; f32 rounding via E[x²]−μ² only) — at the op AND

@@ -125,7 +125,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
             fast_stem: str = "auto", fast_head: str = "auto",
             fast_fir: str = "auto", fast_c1: str = "auto",
             fast_pix: str = "auto", fast_tri: str = "auto",
-            fast_adain: str = "auto") -> float:
+            fast_adain: str = "auto", conv_dx: str = "auto") -> float:
     import tempfile
 
     import jax
@@ -151,7 +151,7 @@ def measure(batch_size: int, iters: int, warmup: int, resolution: int = 64,
                  downconv_vjp=downconv_vjp, fast_stem=fast_stem,
                  fast_head=fast_head, fast_fir=fast_fir, fast_c1=fast_c1,
                  fast_pix=fast_pix, fast_tri=fast_tri,
-                 fast_adain=fast_adain,
+                 fast_adain=fast_adain, conv_dx=conv_dx,
                  fid_in_loop=False,
                  xla_vmem_limit_kib=xla_vmem,
                  log_dir=tempfile.mkdtemp(prefix="bench_"),
@@ -250,6 +250,10 @@ def main() -> None:
                    choices=["auto", "on", "off"],
                    help="one-pass-moments AdaIN lowering (StyleGAN-1, "
                         "models/stylegan/stylegan1.py)")
+    p.add_argument("--conv_dx", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="explicit-conv first-order backward for the "
+                        "StyleGAN-1 G stride-1 k=3 convs (ops/dx_conv.py)")
     p.add_argument("--c1_act", default="auto",
                    choices=["auto", "on", "off"],
                    help="bias+activation of C=1 tensors on the squeezed "
@@ -348,7 +352,7 @@ def main() -> None:
                           a.remat_scope, a.xla_vmem, a.fast_dw, a.wide_conv,
                           a.downconv_vjp, a.fast_stem, a.fast_head,
                           a.fast_fir, a.fast_c1, a.fast_pix, a.fast_tri,
-                          a.fast_adain)
+                          a.fast_adain, a.conv_dx)
             used = f"{b}{'+remat' if remat else ''}"
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback

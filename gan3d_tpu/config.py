@@ -218,6 +218,15 @@ class Config:
                                  # copies (round-3 session-5 trace).
                                  # "auto" resolves per the measured A/B
                                  # (fast_tri_enabled()).
+    conv_dx: str = "auto"        # explicit-conv first-order backward for
+                                 # the StyleGAN-1 G's stride-1 k=3 convs
+                                 # (ops/dx_conv.py): dx/dW handed to XLA
+                                 # as plain convolutions instead of the
+                                 # autodiff lowering whose cotangent
+                                 # reorganization runs as a 4 GB/s
+                                 # DUS-while (~8% of the sg1 step).
+                                 # "auto" per the measured A/B
+                                 # (conv_dx_enabled()).
     fast_adain: str = "auto"     # StyleGAN-1 AdaIN lowering: one-pass
                                  # moments (Σx, Σx² fused into the producer
                                  # conv's epilogue — removes the var pass's

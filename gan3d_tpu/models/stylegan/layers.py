@@ -54,8 +54,12 @@ def c1act_enabled() -> bool:
     sg1 64^3 step, round-3 session-5 trace). Squeezing C lets XLA lay the
     elementwise out densely. auto = per the measured step-level A/B."""
     if _C1ACT_MODE == "auto":
-        # auto = off until the step-level A/B on the chip says otherwise
-        # (the 4-for-4 lesson: only bench.py A/Bs count — docs/PERF.md).
+        # Measured step-level NO-GO, replicated (round 5, bench.py
+        # --family=stylegan batch 32 on v5e): 61.43/61.43 vol/s forced-on
+        # vs 62.00/62.00 control (-0.9%) — the squeezed view forces
+        # relayout copies around the reshape that cost more than the
+        # degenerate-layout elementwise saves. Kept as the recorded
+        # negative result (forceable for re-measurement).
         return False
     return _C1ACT_MODE == "on"
 

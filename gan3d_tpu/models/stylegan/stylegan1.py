@@ -39,9 +39,13 @@ def set_fast_adain_mode(mode: str) -> None:
 
 def fast_adain_enabled() -> bool:
     if _ADAIN_MODE == "auto":
-        # auto = off until the step-level A/B on the chip says otherwise
-        # (the 4-for-4 lesson: only bench.py A/Bs count — docs/PERF.md).
-        return False
+        # Measured step-level GO, replicated (round 5, bench.py
+        # --family=stylegan batch 32 on v5e): 63.32/64.07 vol/s vs
+        # 62.00/62.00 control (+2.1-3.3%) — the one-pass moments fuse
+        # into the producer conv's epilogue, removing the var pass's
+        # second full read of the activation. CPU (tests/oracles) keeps
+        # the reference two-pass form.
+        return jax.default_backend() == "tpu"
     return _ADAIN_MODE == "on"
 
 
@@ -159,7 +163,8 @@ class StyleGAN1Generator(nn.Module):
             conv_i += 1
             y = Conv3d(ch, kernel_size=3, padding=1, use_bias=False,
                        kernel_init=nn.initializers.lecun_normal(),
-                       name=f"C{conv_i}", dtype=dtype)(x)
+                       name=f"C{conv_i}", dtype=dtype,
+                       dx_vjp=True)(x)  # G-only first-order backward gate
             return nn.leaky_relu(y, 0.2)
 
         # const 4^3 x z ones input (reference stylegan.py:1069); stage

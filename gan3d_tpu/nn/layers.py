@@ -136,6 +136,10 @@ class Conv3d(nn.Module):
     bias_init: Optional[Callable] = None
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    # dx_vjp: route through the first-order explicit-conv backward
+    # (ops/dx_conv.py) when its gate matches. Generator-only — custom_vjp
+    # breaks grad-of-grad, so never set on discriminator convs (R1).
+    dx_vjp: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -148,8 +152,21 @@ class Conv3d(nn.Module):
                             (*k, in_ch // self.groups, self.features),
                             self.param_dtype)
         dtype = self.dtype or x.dtype
-        y = conv3d(x.astype(dtype), kernel.astype(dtype), self.stride,
-                   self.padding, self.dilation, self.groups)
+        from gan3d_tpu.ops import dx_conv
+
+        s3 = (self.stride,) * 3 if isinstance(self.stride, int) \
+            else tuple(self.stride)
+        d3 = (self.dilation,) * 3 if isinstance(self.dilation, int) \
+            else tuple(self.dilation)
+        p3 = (self.padding,) * 3 if isinstance(self.padding, int) \
+            else tuple(self.padding)
+        if (self.dx_vjp and dx_conv.conv_dx_enabled()
+                and dx_conv.eligible(x.shape, kernel.shape, s3, p3, d3,
+                                     self.groups)):
+            y = dx_conv.conv3d_dx(x.astype(dtype), kernel.astype(dtype), p3)
+        else:
+            y = conv3d(x.astype(dtype), kernel.astype(dtype), self.stride,
+                       self.padding, self.dilation, self.groups)
         if self.use_bias:
             binit = self.bias_init or _uniform(1.0 / fan_in ** 0.5)
             bias = self.param("bias", binit, (self.features,), self.param_dtype)

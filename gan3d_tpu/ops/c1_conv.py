@@ -148,9 +148,10 @@ def c1_wfirst_enabled() -> bool:
     (~40 MB total). auto = per the measured step-level A/B.
     """
     if _WFIRST_MODE == "auto":
-        # auto = off until the step-level A/B on the chip says otherwise
-        # (the 4-for-4 lesson: only bench.py A/Bs count — docs/PERF.md).
-        return False
+        # Measured step-level GO, replicated (round 5, bench.py
+        # --family=stylegan2 batch 32 on v5e): 480.07/482.02 vol/s vs
+        # 438.30/438.55 control (+9.7%, vs_baseline 1.185 -> 1.30).
+        return True
     return _WFIRST_MODE == "on"
 
 

@@ -115,6 +115,8 @@ class Trainer:
         set_fast_tri_mode(cfg.fast_tri)
         from gan3d_tpu.models.stylegan.stylegan1 import set_fast_adain_mode
         set_fast_adain_mode(cfg.fast_adain)
+        from gan3d_tpu.ops.dx_conv import set_conv_dx_mode
+        set_conv_dx_mode(cfg.conv_dx)
 
         if (cfg.resolution >= 128 and not cfg.remat
                 and self.family not in ("stylegan", "stylegan2")):

@@ -41,8 +41,15 @@ def set_conv_dx_mode(mode: str) -> None:
 
 def conv_dx_enabled() -> bool:
     if _MODE == "auto":
-        # auto = off until the step-level A/B on the chip says otherwise
-        # (the 4-for-4 lesson: only bench.py A/Bs count — docs/PERF.md).
+        # Measured step-level NO-GO, replicated (round 5, bench.py
+        # --family=stylegan batch 32 on v5e): 64.066/64.058 vol/s forced
+        # on vs 64.071/64.070 control (-0.02%) — with the path PROVEN
+        # firing (4 custom_vjp_calls in the grad jaxpr; the session-9
+        # "exactly no-change" check). XLA's autodiff lowers this conv's
+        # backward to the same machine program as the explicit forms: the
+        # [1,32,4194304] DUS-while is the dW conv's cotangent-as-kernel
+        # operand preparation, which both formulations pay. Chapter
+        # closed as equivalent-by-measurement.
         return False
     return _MODE == "on"
 

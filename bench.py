@@ -334,15 +334,18 @@ def main() -> None:
         else:
             candidates = [(a.batch, False), (a.batch, True)]
     else:
-        # Family-informed auto ladder (measured A/Bs, docs/PERF.md round 4):
-        # batch 32 beats 16 for stylegan2 (+18%) and dcgan (+14%) but LOSES
-        # for the biggan flagship (18.1 vs 20.3 vol/s, 0.89x) — the ladder
-        # takes the first success, so lead with each family's measured
-        # sweet spot. volumes/sec is batch-independent in the denominator;
-        # the metric string discloses the batch used.
-        first = 16 if a.family in ("biggan", "hybrid") else 32
-        candidates = [(first, False), (16, False), (16, True), (8, False),
-                      (4, False)]
+        # Family-informed auto ladder (measured A/Bs, docs/PERF.md rounds
+        # 4-5): the ladder takes the first success, so lead with each
+        # family's measured sweet spot — biggan 16 (b32 = 0.89x NO-GO, r4),
+        # hybrid 32 (78.5 vs 76.3, r5), dcgan 64 (486.7 vs 465.4, r5),
+        # sg2 128 (1038 vs 594 b64 vs 438 b32, r5 — tiny channel table,
+        # activations keep fitting), sg1 32 (= b16, r5). volumes/sec is
+        # batch-independent in the denominator; the metric string
+        # discloses the batch used.
+        first = {"biggan": 16, "hybrid": 32, "dcgan": 64,
+                 "stylegan2": 128, "stylegan": 32}[a.family]
+        candidates = [(first, False), (32, False), (16, False), (16, True),
+                      (8, False), (4, False)]
         candidates = list(dict.fromkeys(candidates))
     vps, used = None, None
     for b, remat in candidates:

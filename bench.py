@@ -337,13 +337,13 @@ def main() -> None:
         # Family-informed auto ladder (measured A/Bs, docs/PERF.md rounds
         # 4-5): the ladder takes the first success, so lead with each
         # family's measured sweet spot — biggan 16 (b32 = 0.89x NO-GO, r4),
-        # hybrid 32 (78.5 vs 76.3, r5), dcgan 64 (486.7 vs 465.4, r5),
-        # sg2 128 (1038 vs 594 b64 vs 438 b32, r5 — tiny channel table,
-        # activations keep fitting), sg1 32 (= b16, r5). volumes/sec is
-        # batch-independent in the denominator; the metric string
-        # discloses the batch used.
-        first = {"biggan": 16, "hybrid": 32, "dcgan": 64,
-                 "stylegan2": 128, "stylegan": 32}[a.family]
+        # hybrid 32 (78.5 vs 76.3, r5), dcgan 256 (640.8 vs 609 b128 vs
+        # 487 b64, replicated, r5), sg2 256 (1113.6, replicated; b512
+        # REGRESSES to 1042 — the peak, r5), sg1 32 (= b16, r5).
+        # volumes/sec is batch-independent in the denominator; the metric
+        # string discloses the batch used.
+        first = {"biggan": 16, "hybrid": 32, "dcgan": 256,
+                 "stylegan2": 256, "stylegan": 32}[a.family]
         candidates = [(first, False), (32, False), (16, False), (16, True),
                       (8, False), (4, False)]
         candidates = list(dict.fromkeys(candidates))
